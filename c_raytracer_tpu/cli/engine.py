@@ -1,0 +1,132 @@
+"""engine-compatible CLI (main.c:23-89, render.c:61-116).
+
+Same positional arguments and flags as the reference raytracer:
+
+  engine <input.json> <output.tif> <resx> <resy> [flags]
+
+  -m (int|"max")  thread count      — accepted; TPU/XLA manages parallelism
+  -b (int)        max bounces               DEFAULT 10
+  -a (float)      min light intensity       DEFAULT 0.01
+  -s phong|blinn  reflection model          DEFAULT phong
+  -n (int)        samples per pixel         DEFAULT 1
+  -r norm|float   scene scale               DEFAULT 1.0
+  -l none|lin|sqr light attenuation         DEFAULT sqr
+  -o (float)      attenuation offset        DEFAULT 1
+  -p real|cpu     log clock                 DEFAULT real
+  -g ambient|path global illumination       DEFAULT ambient
+  -f              save raw float32 + z-buffer for postprocessing
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+HELPTEXT = """Render a scene using raytracing (TPU-native JAX engine).
+Usage: engine <input> <output> <resolution x> <resolution y> [OPTIONAL_PARAMETERS]
+
+REQUIRED PARAMETERS:
+<input>      (string)            : .json scene file which will be used to generate the image.
+<output>     (string)            : .tif file to which the image will be saved.
+<resolution> (integer) (integer) : resolution of the output image.
+OPTIONAL PARAMETERS:
+[-m] (integer | "max")           : DEFAULT = 1       : accepted for compatibility (XLA manages parallelism).
+[-b] (integer)                   : DEFAULT = 10      : maximum number of times that a light ray can bounce.
+[-a] (float)                     : DEFAULT = 0.01    : minimum light intensity for which a ray is cast.
+[-s] ("phong" | "blinn")         : DEFAULT = phong   : reflection model.
+[-n] (integer)                   : DEFAULT = 1       : number of samples which are rendered per pixel.
+[-r] ("norm" | float)            : DEFAULT = 1.0     : scene scaling factor.
+[-l] ("none" | "lin" | "sqr")    : DEFAULT = sqr     : light attenuation.
+[-p] ("real" | "cpu")            : DEFAULT = real    : time to print with status messages.
+[-g] (string)                    : DEFAULT = ambient : global illumination model (ambient | path).
+[-o] (float)                     : DEFAULT = 1       : light attenuation offset.
+[-f]                             : DEFAULT = OFF     : save raw output for post-processing.
+[--seed] (integer)               : DEFAULT = 0       : PRNG key (unlike the reference, renders are deterministic).
+"""
+
+
+def _flag(argv, name, nargs=1):
+    if name in argv:
+        i = argv.index(name)
+        if nargs == 0:
+            return True
+        return argv[i + 1:i + 1 + nargs]
+    return None
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        print(HELPTEXT)
+        return 0
+    if len(argv) < 4:
+        print("Too few arguments. Use --help to find out which arguments "
+              "are required to call this program.")
+        return 1
+
+    from c_raytracer_tpu.core.logging import init as log_init, printf_log
+    p = _flag(argv, "-p")
+    log_init(p[0] if p else "real")
+
+    import jax
+
+    from c_raytracer_tpu.image import write_tiff_raw, write_tiff_rgb8
+    from c_raytracer_tpu.render import RenderConfig, render
+    from c_raytracer_tpu.scene import load_scene
+
+    inp, outp = argv[0], argv[1]
+    resx, resy = abs(int(argv[2])), abs(int(argv[3]))
+
+    kw = {}
+    v = _flag(argv, "-b")
+    if v:
+        kw["max_bounces"] = abs(int(v[0]))
+    v = _flag(argv, "-a")
+    if v:
+        kw["min_light_intensity"] = float(v[0])
+    v = _flag(argv, "-s")
+    if v and v[0] in ("phong", "blinn"):
+        kw["reflection_model"] = v[0]
+    v = _flag(argv, "-g")
+    if v and v[0] in ("ambient", "path"):
+        kw["gi_model"] = v[0]
+    v = _flag(argv, "-n")
+    if v:
+        kw["samples_per_pixel"] = abs(int(v[0]))
+    v = _flag(argv, "-l")
+    if v and v[0] in ("none", "lin", "sqr"):
+        kw["light_attenuation"] = v[0]
+    v = _flag(argv, "-o")
+    if v:
+        kw["attenuation_offset"] = float(v[0])
+    cfg = RenderConfig(**kw)
+
+    scale = None
+    v = _flag(argv, "-r")
+    if v:
+        scale = "norm" if v[0] == "norm" else float(v[0])
+
+    seed = _flag(argv, "--seed")
+    key = jax.random.PRNGKey(int(seed[0]) if seed else 0)
+
+    printf_log("Loading scene.")
+    scene = load_scene(inp, scale=scale)
+    printf_log("Commencing raytracing.")
+    img, z = render(scene, cfg, resx, resy, key)
+    img = np.asarray(img)
+    z = np.asarray(z)
+
+    printf_log("Saving image.")
+    if not outp.endswith((".tif", ".tiff")) and ".tif" not in outp:
+        printf_log("Expected output file [%s] with extension .tif.", outp)
+    if _flag(argv, "-f", nargs=0):
+        write_tiff_raw(outp, img, z)
+    else:
+        write_tiff_rgb8(outp, img)
+    printf_log("Terminating.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

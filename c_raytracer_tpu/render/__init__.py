@@ -1,0 +1,2 @@
+from c_raytracer_tpu.render.api import make_renderer, render  # noqa: F401
+from c_raytracer_tpu.render.config import RenderConfig  # noqa: F401

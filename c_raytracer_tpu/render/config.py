@@ -1,0 +1,53 @@
+"""Render configuration — the reference's CLI flag surface (main.c:35-53,
+render.c:61-116) as a static dataclass.
+
+Defaults match the reference exactly: -b 10, -a 0.01, -s phong, -g ambient,
+-n 1, -l sqr, -o 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+REFLECTION_PHONG = "phong"
+REFLECTION_BLINN = "blinn"
+GI_AMBIENT = "ambient"
+GI_PATH = "path"
+ATTEN_NONE = "none"
+ATTEN_LINEAR = "lin"
+ATTEN_SQUARE = "sqr"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    max_bounces: int = 10                  # -b (render.c:54)
+    min_light_intensity: float = 0.01      # -a; compared squared (render.c:55)
+    reflection_model: str = REFLECTION_PHONG   # -s
+    gi_model: str = GI_AMBIENT             # -g
+    samples_per_pixel: int = 1             # -n (path-GI primary samples only)
+    light_attenuation: str = ATTEN_SQUARE  # -l
+    attenuation_offset: float = 1.0        # -o (render.c:52)
+
+    # TPU execution shape (no reference equivalent; OpenMP row-split analog)
+    rounds: int | None = None       # wavefront rounds; None -> heuristic
+    stack_size: int = 8             # per-pixel pending-ray stack capacity
+    tile_size: int = 65536          # pixels per wavefront tile
+    light_chunk: int = 8            # soft-shadow samples per scan step
+    gi_chunk: int = 1               # hemisphere samples per scan step
+    tri_chunk: int = 2048           # triangles per intersection scan step
+
+    @property
+    def min_light_intensity_sqr(self) -> float:
+        return self.min_light_intensity * self.min_light_intensity
+
+    def resolved_rounds(self, any_transparent: bool) -> int:
+        """Upper bound on per-pixel rays in the reflect/refract tree.
+
+        A pure reflection chain needs max_bounces+1 rounds.  Transparent
+        materials branch the tree (reflect+refract per outside hit,
+        render.c:307-340), so give them headroom."""
+        if self.rounds is not None:
+            return self.rounds
+        if any_transparent:
+            return 4 * self.max_bounces + 1
+        return self.max_bounces + 1

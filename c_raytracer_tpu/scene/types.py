@@ -168,24 +168,29 @@ def make_scene(
                  + tuple(int(i) for i in tri_material)
                  + tuple(int(i) for i in plane_material))
 
-    # auto-epsilon rules (object.c:235-237, 336-339, 453-454)
-    eps = []
-    for i in range(ns):
-        e = float(sphere_epsilon[i]) if len(sphere_epsilon) else -1.0
-        eps.append(e if e != -1.0 else float(sr[i]) * 0.0003)
-    for i in range(nt):
-        e = float(tri_epsilon[i]) if len(tri_epsilon) else -1.0
-        if e == -1.0:
-            e0 = tv[i, 1] - tv[i, 0]
-            e1 = tv[i, 2] - tv[i, 0]
-            magab = float(np.linalg.norm(e0) * np.linalg.norm(e1))
-            cosang = float(np.dot(e0, e1)) / magab
-            area = 0.5 * magab * np.sin(np.arccos(np.float32(cosang)))
-            e = float(0.003 * area ** 0.75)
-        eps.append(e)
-    for i in range(npl):
-        e = float(plane_epsilon[i]) if len(plane_epsilon) else -1.0
-        eps.append(e if e != -1.0 else 1e-6)
+    # auto-epsilon rules (object.c:235-237, 336-339, 453-454), vectorized.
+    # Triangle auto-eps uses area = 0.5·|e1×e2|, algebraically identical to
+    # the reference's 0.5·|e1||e2|·sin(acos(cos)) but NaN-free when float
+    # error pushes |cos| past 1.
+    sph_e = (np.asarray(sphere_epsilon, np.float32) if len(sphere_epsilon)
+             else np.full(ns, -1.0, np.float32))
+    sph_auto = sr * np.float32(0.0003)
+    tri_e = (np.asarray(tri_epsilon, np.float32) if len(tri_epsilon)
+             else np.full(nt, -1.0, np.float32))
+    if nt:
+        e0 = tv[:, 1] - tv[:, 0]
+        e1v = tv[:, 2] - tv[:, 0]
+        area = 0.5 * np.linalg.norm(np.cross(e0, e1v), axis=-1)
+        tri_auto = (np.float32(0.003) * area.astype(np.float32) ** 0.75)
+    else:
+        tri_auto = np.zeros(0, np.float32)
+    pln_e = (np.asarray(plane_epsilon, np.float32) if len(plane_epsilon)
+             else np.full(npl, -1.0, np.float32))
+    eps = np.concatenate([
+        np.where(sph_e == -1.0, sph_auto, sph_e),
+        np.where(tri_e == -1.0, tri_auto, tri_e),
+        np.where(pln_e == -1.0, np.float32(1e-6), pln_e),
+    ]).astype(np.float32)
 
     nl = (tuple(int(x) for x in sphere_lights) if len(sphere_lights)
           else (0,) * ns)

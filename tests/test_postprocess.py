@@ -1,0 +1,100 @@
+"""Postprocess ops vs the reference postprocess binary's output, plus TIFF
+codec roundtrips (raw handoff = the reference's checkpoint/resume format)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_raytracer_tpu.image import read_tiff, write_tiff_raw, write_tiff_rgb8
+from c_raytracer_tpu.image.tiff import quantize_rgb8
+from c_raytracer_tpu.postprocess import brighten, depth_of_field, mist
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="module")
+def raw():
+    # NOTE: the reference raster is malloc'd uninitialized (image.c:45) and
+    # miss pixels are never written, so the raw golden contains garbage
+    # incl. NaN on background pixels; quantize_rgb8 replicates the C NaN
+    # clamp (NaN -> 255) so comparisons still match.
+    img, z = read_tiff(os.path.join(GOLDEN_DIR, "scene1_96_raw.tif"))
+    assert z is not None and z.shape[0] == 96 * 96
+    return img, z.reshape(96, 96)
+
+
+def q8(img):
+    return quantize_rgb8(np.asarray(img)).astype(np.int32)
+
+
+def golden(name):
+    img, _ = read_tiff(os.path.join(GOLDEN_DIR, name))
+    return (img * 255.0).astype(np.int32)
+
+
+class TestTiff:
+    def test_raw_roundtrip(self, tmp_path, rng):
+        img = rng.random((13, 17, 3)).astype(np.float32)
+        z = rng.random(13 * 17).astype(np.float32)
+        p = str(tmp_path / "r.tif")
+        write_tiff_raw(p, img, z)
+        img2, z2 = read_tiff(p)
+        np.testing.assert_array_equal(img, img2)
+        np.testing.assert_array_equal(z, z2)
+
+    def test_rgb8_roundtrip(self, tmp_path, rng):
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        p = str(tmp_path / "q.tif")
+        write_tiff_rgb8(p, img)
+        img2, z2 = read_tiff(p)
+        assert z2 is None
+        np.testing.assert_allclose(img2, np.clip(img, 0, 1), atol=1 / 255.0)
+
+    def test_pil_can_read_ours(self, tmp_path, rng):
+        PIL = pytest.importorskip("PIL.Image")
+        img = rng.random((9, 11, 3)).astype(np.float32)
+        p = str(tmp_path / "q.tif")
+        write_tiff_rgb8(p, img)
+        arr = np.array(PIL.open(p))
+        assert arr.shape == (9, 11, 3)
+
+    def test_reads_libtiff_output(self, raw):
+        img, z = raw
+        assert img.shape == (96, 96, 3)
+        assert img.dtype == np.float32
+
+
+class TestBrighten:
+    def test_vs_reference(self, raw):
+        img, _ = raw
+        ours = q8(brighten(jnp.asarray(img), 2.5))
+        np.testing.assert_array_equal(ours, golden("pp_brighten.tif"))
+
+
+class TestMist:
+    def test_vs_reference(self, raw):
+        img, z = raw
+        ours = q8(mist(jnp.asarray(img), jnp.asarray(z), 2.0, 10.0, "lin",
+                       [0.5, 0.6, 0.7]))
+        diff = np.abs(ours - golden("pp_mist.tif"))
+        assert (diff <= 1).mean() > 0.999 and diff.max() <= 2
+
+
+class TestDoF:
+    def test_vs_reference(self, raw):
+        img, z = raw
+        b = brighten(jnp.asarray(img), 2.0)
+        ours = q8(depth_of_field(b, jnp.asarray(z), 0.02, -1.0))
+        diff = np.abs(ours - golden("pp_dof.tif"))
+        # forward-scatter vs gather reformulation: identical math, float
+        # summation order differs inside the normalization
+        assert (diff.max(-1) <= 1).mean() > 0.995, (
+            f"mean {diff.mean()}, max {diff.max()}")
+
+    def test_no_blur_identity(self, raw):
+        img, z = raw
+        # scale=0, bias=0 -> radius 0 everywhere -> alpha 1, identity
+        out = depth_of_field(jnp.asarray(img), jnp.asarray(z), 0.0, 0.0)
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
