@@ -25,7 +25,14 @@ def c_powf(base, exponent):
     """
     base = jnp.asarray(base, jnp.float32)
     exponent = jnp.asarray(exponent, jnp.float32)
-    mag_pow = jnp.abs(base) ** exponent  # numpy: 0**0 == 1, 0**neg == inf
+    # guard base==0 out of the power so grad w.r.t. exponent (log|base|)
+    # stays finite; restore the C 0**e values explicitly
+    is_zero = base == 0.0
+    safe = jnp.where(is_zero, 1.0, jnp.abs(base))
+    mag_pow = safe ** exponent
+    zero_val = jnp.where(exponent > 0, 0.0,
+                         jnp.where(exponent == 0, 1.0, jnp.float32(jnp.inf)))
+    mag_pow = jnp.where(is_zero, zero_val, mag_pow)
     is_integral = exponent == jnp.floor(exponent)
     # sign of (-1)^e for integral e: odd -> -1
     is_odd = jnp.mod(jnp.abs(exponent), 2.0) == 1.0

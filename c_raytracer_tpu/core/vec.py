@@ -36,6 +36,14 @@ def mag(a):
     return jnp.sqrt(magsqr(a))
 
 
+def safe_mag(a):
+    """Magnitude with a clean gradient at zero vectors (sqrt's VJP is inf
+    at 0 even under a zero cotangent — the double-where trick)."""
+    m2 = magsqr(a)
+    ok = m2 > 0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, m2, 1.0)), 0.0)
+
+
 def norm(a):
     """Normalize; like the reference's norm3 there is no zero guard —
     normalizing a zero/NaN vector yields NaN, which downstream intersection

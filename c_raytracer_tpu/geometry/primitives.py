@@ -87,8 +87,12 @@ def device_scene(params: T.SceneParams, static: T.SceneStatic) -> DeviceScene:
 
 
 def _safe_sqrt(x):
-    """sqrt with clean gradients at/below zero (value matches sqrt(max(x,0)))."""
-    return jnp.sqrt(jnp.where(x > 0, x, 0.0))
+    """sqrt(max(x, 0)) with clean gradients at/below zero.
+
+    Double-where: without it a zero cotangent times d/dx sqrt(0) = inf
+    yields NaN for every missed sphere lane."""
+    ok = x > 0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def sphere_intersect(o, d, center, radius, eps):
@@ -223,7 +227,9 @@ def closest_hit(ds: DeviceScene, o, d, *, tri_chunk: int = 4096):
         t = jnp.where(hit, t, FLT_MAX)
         i = jnp.argmin(t, axis=-1)
         tmin = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
-        n = sphere_normal(o, d, tmin, ds.sph_center[i], ds.sph_radius[i])
+        # clamp miss-lane t for the normal: inf hit points poison grads
+        t_n = jnp.where(tmin < FLT_MAX, tmin, 1.0)
+        n = sphere_normal(o, d, t_n, ds.sph_center[i], ds.sph_radius[i])
         better = tmin < best_t
         best_t = jnp.where(better, tmin, best_t)
         best_gid = jnp.where(better, i.astype(jnp.int32), best_gid)

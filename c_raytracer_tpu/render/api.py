@@ -21,7 +21,8 @@ from c_raytracer_tpu.scene import types as T
 
 
 def make_renderer(static: T.SceneStatic, cfg: RenderConfig,
-                  resx: int, resy: int, *, jit: bool = True):
+                  resx: int, resy: int, *, jit: bool = True,
+                  with_stats: bool = False):
     """Build ``render_fn(params, key) -> (image (resy,resx,3), z (resy,resx))``.
 
     The image is linear float32 radiance (the reference's raster before
@@ -48,16 +49,20 @@ def make_renderer(static: T.SceneStatic, cfg: RenderConfig,
 
         def one_tile(args):
             to, td, tkey = args
-            return render_wavefront(ds, static, cfg, tkey, to, td)
+            return render_wavefront(ds, static, cfg, tkey, to, td,
+                                    with_stats=with_stats)
 
         if n_tiles == 1:
-            color, z = one_tile((o[0], d[0], keys[0]))
-            color = color[None]
-            z = z[None]
+            out = one_tile((o[0], d[0], keys[0]))
+            out = jax.tree.map(lambda x: x[None], out)
         else:
-            color, z = jax.lax.map(one_tile, (o, d, keys))
+            out = jax.lax.map(one_tile, (o, d, keys))
+        color, z = out[0], out[1]
         color = color.reshape(-1, 3)[:n_pixels].reshape(resy, resx, 3)
         z = z.reshape(-1)[:n_pixels].reshape(resy, resx)
+        if with_stats:
+            stats = jax.tree.map(lambda x: jnp.sum(x), out[2])
+            return color, z, stats
         return color, z
 
     return jax.jit(render_fn) if jit else render_fn

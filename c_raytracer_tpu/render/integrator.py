@@ -155,11 +155,13 @@ def _gi_path(ds, static, cfg, key, aux, normal, remaining, active):
 
 
 def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
-                     cfg: RenderConfig, key, o, d):
+                     cfg: RenderConfig, key, o, d, *, with_stats=False):
     """Render one tile of primary rays.
 
     o, d: (P, 3) primary origins/directions.
-    Returns (color (P,3), zbuffer (P,)).
+    Returns (color (P,3), zbuffer (P,)) and, with_stats, a dict of traced
+    ray counts (scalars): rays popped from the stack, shadow rays, GI
+    sample rays, children pushed, stack-overflow drops.
     """
     P = o.shape[0]
     any_transparent = any(static.is_transparent)
@@ -170,9 +172,18 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
     st0 = _stack_init(o, d, cfg.max_bounces, cfg.stack_size)
     color0 = jnp.zeros((P, 3), jnp.float32)
     z0 = jnp.zeros((P,), jnp.float32)
+    # traced-ray counters: main, shadow, gi, pushed, dropped
+    stats0 = jnp.zeros((5,), jnp.float32)
+
+    # per-hit shadow rays (emitters × their sample counts, render.c:170-176)
+    shadow_rays_per_hit = float(sum(
+        static.num_lights[e] for e in static.emitter_prims))
+    gi_per_secondary = 1.0 if cfg.gi_model == GI_PATH else 0.0
+    gi_per_primary = (float(cfg.samples_per_pixel)
+                      if cfg.gi_model == GI_PATH else 0.0)
 
     def round_body(carry, round_i):
-        st, color, z = carry
+        st, color, z, stats = carry
         rkey = jax.random.fold_in(key, round_i)
         k_shade, k_gi = jax.random.split(rkey)
 
@@ -218,22 +229,48 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
         refl_d = shading.reflect_dir(rd, normal, b)
 
         refr_kt = rkr * ds.materials.kt[mat]
-        push_refr = (can_bounce & transparent[mat]
-                     & (vec.magsqr(refr_kt) > thresh))
-        refr_d = shading.refract_dir(
+        refr_d, refr_valid = shading.refract_dir(
             rd, normal, b, aux["is_outside"],
             ds.materials.refractive_index[mat])
+        push_refr = (can_bounce & transparent[mat] & refr_valid
+                     & (vec.magsqr(refr_kt) > thresh))
 
         hit_pt = aux["hit_pt"]
         # push refraction first so reflection is popped first (DFS order of
         # the reference — order only affects float summation order)
+        pre_count = st.count
         st = _stack_push(st, push_refr, hit_pt, refr_d, refr_kt,
                          remaining - 1, gid)
         st = _stack_push(st, push_refl, hit_pt, refl_d, refl_kr,
                          remaining - 1,
                          jnp.full((P,), -1, jnp.int32))
-        return (st, color, z), None
+        n_hit = jnp.sum(active_hit.astype(jnp.float32))
+        n_primary_hit = jnp.sum(
+            (active_hit & is_primary).astype(jnp.float32))
+        wanted = push_refr.astype(jnp.int32) + push_refl.astype(jnp.int32)
+        pushed = (st.count - pre_count).astype(jnp.float32)
+        stats = stats + jnp.stack([
+            jnp.sum(active.astype(jnp.float32)),            # main rays
+            n_hit * shadow_rays_per_hit,                    # shadow rays
+            (n_hit * gi_per_secondary                       # gi rays (+ spp
+             + n_primary_hit * (gi_per_primary - gi_per_secondary)),
+            jnp.sum(pushed),                                # children pushed
+            jnp.sum(wanted.astype(jnp.float32)) - jnp.sum(pushed),  # dropped
+        ])
+        return (st, color, z, stats), None
 
-    (stf, color, z), _ = jax.lax.scan(
-        round_body, (st0, color0, z0), jnp.arange(rounds))
+    (stf, color, z, stats), _ = jax.lax.scan(
+        round_body, (st0, color0, z0, stats0), jnp.arange(rounds))
+    if with_stats:
+        # NOTE: GI child rays also spawn their own shadow rays in the
+        # reference (the child cast does full direct lighting); those are
+        # not counted here, so the total is a conservative undercount.
+        stats_dict = dict(
+            main_rays=stats[0],
+            shadow_rays=stats[1],
+            gi_rays=stats[2],
+            children_pushed=stats[3],
+            dropped=stats[4],
+        )
+        return color, z, stats_dict
     return color, z

@@ -67,18 +67,39 @@ def reflect_dir(d, n, b):
 def refract_dir(d, n, b, is_outside, ior):
     """Snell rotation in the plane of incidence (render.c:324-337).
 
-    NaN on total internal reflection (asin of >1) — the resulting ray
-    misses everything, matching the reference's unspecial-cased TIR.
+    Returns (direction, valid).  The reference produces NaN directions on
+    total internal reflection (asin of >1) and on exactly-normal incidence
+    (normalizing a zero cross product); NaN rays miss everything and
+    contribute nothing.  We mark those lanes invalid instead (identical
+    image) and keep all arithmetic NaN-free so reverse-mode gradients stay
+    clean.
     """
-    incident = jnp.arccos(jnp.abs(b))
+    # clamp |b|<=1 (float error can push the dot past 1).  arccos/arcsin
+    # have infinite slope at ±1; double-where so the masked boundary lanes
+    # contribute zero gradient instead of NaN (gradients exist a.e.).
+    ab = jnp.abs(b)
+    interior = ab < 1.0
+    incident = jnp.where(
+        interior, jnp.arccos(jnp.where(interior, ab, 0.5)), 0.0)
     ratio = jnp.where(is_outside, 1.0 / ior, ior)
-    refracted = jnp.arcsin(jnp.sin(incident) * ratio)  # NaN on TIR
+    sin_r = jnp.sin(incident) * ratio
+    tir = jnp.abs(sin_r) > 1.0
+    sin_interior = jnp.abs(sin_r) < 1.0
+    refracted = jnp.where(
+        sin_interior,
+        jnp.arcsin(jnp.where(sin_interior, sin_r, 0.5)),
+        jnp.where(sin_r > 0, vec.PI / 2, -vec.PI / 2))
     delta = refracted - incident
-    c = vec.norm(vec.cross(d, n))
+    cr = vec.cross(d, n)
+    m = vec.safe_mag(cr)
+    degenerate = m == 0.0
+    c = cr / jnp.where(degenerate, 1.0, m)[..., None]
     c = jnp.where(is_outside[..., None], c, -c)
     f = vec.cross(c, d)
     out = d * jnp.cos(delta)[..., None] + f * jnp.sin(delta)[..., None]
-    return vec.norm(out)
+    om = vec.safe_mag(out)
+    out = out / jnp.where(om == 0.0, 1.0, om)[..., None]
+    return out, ~(tir | degenerate)
 
 
 def gi_rotation(normal, eps):
@@ -196,8 +217,8 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
                     out_axes=1)(keys)
 
             lvec = lp - hp
-            ldist = vec.mag(lvec)
-            ldir = lvec / ldist[..., None]
+            ldist = vec.safe_mag(lvec)
+            ldir = lvec / jnp.where(ldist == 0.0, 1.0, ldist)[..., None]
             a = vec.dot(ldir, normal[:, None, :])
 
             blocked, tint = G.any_hit_tint(
@@ -216,7 +237,9 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
                 reflected = normal[:, None, :] * (2.0 * a)[..., None] - ldir
                 spec_mul = -vec.dot(reflected, ray_d[:, None, :])
             else:  # Blinn half-vector variant (render.c:215-220)
-                reflected = vec.norm(ray_d[:, None, :] - ldir)
+                hv = ray_d[:, None, :] - ldir
+                hm = vec.safe_mag(hv)
+                reflected = hv / jnp.where(hm == 0.0, 1.0, hm)[..., None]
                 spec_mul = -vec.dot(normal[:, None, :], reflected)
             shin = ds.materials.shininess[mat]
             spec = (ds.materials.ks[mat][:, None, :] * incoming
@@ -246,6 +269,9 @@ def shade_basic(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
     active = active & hit
     g = jnp.maximum(gid, 0)
     mat = ds.mat_idx[g]
+    # miss lanes carry t=FLT_MAX; clamp them so hit points stay finite
+    # (their contribution is masked, but inf would poison reverse-mode)
+    t = jnp.where(hit, t, 1.0)
     hit_pt = o + d * t[..., None]
     b = vec.dot(normal, d)
     is_outside = cmath.signbit(b)
