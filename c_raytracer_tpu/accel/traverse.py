@@ -1,0 +1,327 @@
+"""Device-side acceleration traversal: sorted, vectorized cluster sweeps.
+
+The reference traverses a binary LBVH recursively per ray with
+nearer-child-first pruning (accel.c:322-353) and an any-hit early-exit
+shadow walk (accel.c:360-387).  Per-ray pointer chasing is the wrong shape
+for a vector machine, so the TPU-native structure replaces the tree with
+**clusters**: Morton-ordered triangles grouped into fixed blocks of C
+(build.py), each with an AABB re-fit on device from the differentiable
+vertices.  Traversal per wavefront:
+
+1. slab-test every ray against every cluster AABB — one dense (R, K)
+   vectorized test (the reference's bounding_cuboid_intersects,
+   accel.c:111-158, with the same per-node epsilon inflation);
+2. sort each ray's overlapped clusters by entry distance and keep the
+   nearest V (``lax.top_k`` — the "sorted node-batch" sweep);
+3. ``lax.scan`` over the V visit slots: gather the cluster's packed
+   triangle block and run Möller-Trumbore on all C lanes, carrying the
+   running best hit (closest) or the blocked/kt-tint accumulators (shadow).
+
+Everything is fixed-shape and branch-free; hit *selection* is wrapped in
+stop_gradient while hit distances/normals stay differentiable w.r.t. the
+vertices (the same contract as the brute-force path in
+geometry/primitives.py).
+
+Exactness: a ray that overlaps more than V clusters may miss a hit in the
+(V+1)-th-nearest one.  V defaults high enough that reference scenes are
+exact (tests/test_accel.py pins brute-force equality); raise
+``RenderConfig.bvh_visits`` for adversarial geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLT_MAX = jnp.float32(np.finfo(np.float32).max)
+
+# packed field rows in ClusterSet.blk: v0, e1, e2, n (3 each), eps
+_F_V0, _F_E1, _F_E2, _F_N, _F_EPS = 0, 3, 6, 9, 12
+_NFIELDS = 13
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterSet:
+    """Morton-ordered triangle clusters, packed for per-ray block gathers."""
+
+    blk: jax.Array      # (K, 13, C) float32 packed triangle fields
+    mat: jax.Array      # (K, C) int32 material index (padding: 0)
+    lo: jax.Array       # (K, 3) cluster AABB min, inflated by eps
+    hi: jax.Array       # (K, 3) cluster AABB max, inflated by eps
+    gid0: jax.Array     # () int32 global prim id of triangle 0 (= n_spheres)
+
+
+def pack_clusters(ds, cluster_size: int) -> ClusterSet:
+    """Pack the (already device-resident) triangle arrays into clusters of
+    ``cluster_size`` and re-fit cluster AABBs from the current vertices.
+
+    Padding lanes get eps=1 which makes Möller-Trumbore's parallel test
+    (|a| < eps with a == 0) reject them unconditionally."""
+    C = cluster_size
+    nt = ds.tri_v0.shape[0]
+    K = max(1, -(-nt // C))
+    pad = K * C - nt
+
+    def p(x, fill):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return x
+
+    v0, e1, e2 = p(ds.tri_v0, 0.0), p(ds.tri_e1, 0.0), p(ds.tri_e2, 0.0)
+    n = p(ds.tri_n, 0.0)
+    eps = p(ds.tri_eps, 1.0)
+
+    blk = jnp.concatenate(
+        [v0, e1, e2, n, eps[:, None]], axis=1)          # (K*C, 13)
+    blk = blk.reshape(K, C, _NFIELDS).transpose(0, 2, 1)  # (K, 13, C)
+
+    mat = p(ds.mat_idx[ds.sph_center.shape[0]:
+                       ds.sph_center.shape[0] + nt], 0).reshape(K, C)
+
+    # AABB refit: per-triangle min/max over its 3 vertices, masked padding,
+    # reduced per cluster; inflated by the cluster's max epsilon (the
+    # reference inflates node slabs by node->epsilon, accel.c:120-156).
+    verts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)   # (K*C, 3, 3)
+    valid = (jnp.arange(K * C) < nt)[:, None]
+    vmin = jnp.where(valid, verts.min(1), FLT_MAX).reshape(K, C, 3).min(1)
+    vmax = jnp.where(valid, verts.max(1), -FLT_MAX).reshape(K, C, 3).max(1)
+    ceps = jnp.where(valid[:, 0], eps, 0.0).reshape(K, C).max(1)[:, None]
+    lo = jax.lax.stop_gradient(vmin - ceps)
+    hi = jax.lax.stop_gradient(vmax + ceps)
+    return ClusterSet(blk=blk, mat=mat, lo=lo, hi=hi,
+                      gid0=jnp.int32(ds.sph_center.shape[0]))
+
+
+def _visit_order(cs: ClusterSet, o, d, visits: int):
+    """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V))
+    sorted by entry distance.  Selection only — gradients stopped."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    K = cs.lo.shape[0]
+    V = min(visits, K)
+    # robust slab test (Williams et al., accel.c:111-158): div-by-zero
+    # yields ±inf which min/max handle; 0*inf NaN is avoided by nudging d
+    dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv = 1.0 / dd
+    t1 = (cs.lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # (R, K, 3)
+    t2 = (cs.hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.minimum(t1, t2).max(-1)
+    tmax = jnp.maximum(t1, t2).min(-1)
+    entry = jnp.maximum(tmin, 0.0)
+    overlap = tmax >= entry                               # (R, K)
+    key = jnp.where(overlap, entry, FLT_MAX)
+    neg_top, idx = jax.lax.top_k(-key, V)                 # (R, V)
+    return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top
+
+
+def _mt_block(blk, o, d):
+    """Möller-Trumbore on a gathered block: blk (R, 13, C), o/d (R, 3).
+
+    Componentwise on (R, C) slices — no (R, C, 3) transposes.  Exact
+    accept rules of object.c:422-441.  Returns (t, hit) each (R, C)."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = blk[:, _F_V0], blk[:, _F_V0 + 1], blk[:, _F_V0 + 2]
+    e1x, e1y, e1z = blk[:, _F_E1], blk[:, _F_E1 + 1], blk[:, _F_E1 + 2]
+    e2x, e2y, e2z = blk[:, _F_E2], blk[:, _F_E2 + 1], blk[:, _F_E2 + 2]
+    eps = blk[:, _F_EPS]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = (a < eps) & (a > -eps)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    hit = (~parallel & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+           & (t > eps))
+    return t, hit
+
+
+def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
+    """Fold the nearest-``visits`` clusters' triangles into ``best``.
+
+    o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
+    sphere/plane pre-pass.  Returns the updated best tuple."""
+    C = cs.blk.shape[2]
+    cids, ok, entry = _visit_order(cs, o, d, visits)
+    V = cids.shape[1]
+    rows = jnp.arange(o.shape[0])
+
+    def body(best, v):
+        bt, bg, bn = best
+        cid = cids[:, v]
+        # skip clusters that can't beat the running best: sorted entries
+        # mean every later visit is farther (accel.c:341-352 pruning)
+        live = ok[:, v] & (entry[:, v] < bt)
+        blk = cs.blk[cid]                                  # (R, 13, C)
+        t, hit = _mt_block(blk, o, d)
+        t = jnp.where(hit & live[:, None], t, FLT_MAX)
+        lane = jnp.argmin(t, axis=-1)
+        tmin = jnp.take_along_axis(t, lane[:, None], -1)[:, 0]
+        better = tmin < bt
+        nrm = jnp.stack(
+            [jnp.take_along_axis(blk[:, _F_N + i], lane[:, None], -1)[:, 0]
+             for i in range(3)], -1)
+        gid = cs.gid0 + cid * C + lane.astype(jnp.int32)
+        best = (jnp.where(better, tmin, bt),
+                jnp.where(better, gid, bg),
+                jnp.where(better[:, None], nrm, bn))
+        return best, None
+
+    best, _ = jax.lax.scan(body, best, jnp.arange(V))
+    return best
+
+
+def any_hit_tint_clusters(cs: ClusterSet, transparent_mask, kt_by_mat,
+                          o, d, max_dist, exclude_gid, acc, *, visits: int):
+    """Fold cluster triangles into the shadow accumulators (blocked, tint).
+
+    o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
+    (R,3)).  Transparent blockers multiply tint by kt, opaque ones block
+    (accel.c:360-387) — all blockers matter for the tint product, so there
+    is no early exit; visits clusters are still nearest-first so opaque
+    blocking is found even when the overlap count exceeds V."""
+    C = cs.blk.shape[2]
+    cids, ok, entry = _visit_order(cs, o, d, visits)
+    V = cids.shape[1]
+
+    def body(acc, v):
+        blocked, tint = acc
+        cid = cids[:, v]
+        live = ok[:, v] & (entry[:, v] < max_dist)
+        blk = cs.blk[cid]
+        t, hit = _mt_block(blk, o, d)
+        gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
+        mat = cs.mat[cid]                                  # (R, C)
+        in_range = (hit & live[:, None] & (t < max_dist[:, None])
+                    & (gid != exclude_gid[:, None]))
+        transp = transparent_mask[mat]
+        blocked = blocked | jnp.any(in_range & ~transp, axis=-1)
+        kts = jnp.where((in_range & transp)[..., None], kt_by_mat[mat], 1.0)
+        tint = tint * jnp.prod(kts, axis=-2)
+        return (blocked, tint), None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
+    return acc
+
+
+def shadow_visit_order(cs: ClusterSet, origin, hull_lo, hull_hi,
+                       visits: int):
+    """Visit list for a *shared-origin* shadow query.
+
+    All of a pixel's soft-shadow rays start at the same hit point and end
+    on the same emitter, so one conservative visit list per pixel serves
+    every light sample: a cluster is a candidate iff its AABB overlaps the
+    AABB hull of {origin} ∪ emitter bounds (any cluster touching any
+    origin→light-point segment must).  Nearest-``visits`` by distance from
+    the origin.  Returns (cids (P, V), ok (P, V))."""
+    origin = jax.lax.stop_gradient(origin)
+    K = cs.lo.shape[0]
+    V = min(visits, K)
+    lo = jnp.minimum(hull_lo, origin)[:, None, :]          # (P, 1, 3)
+    hi = jnp.maximum(hull_hi, origin)[:, None, :]
+    overlap = jnp.all((cs.lo[None] <= hi) & (cs.hi[None] >= lo), -1)
+    center = 0.5 * (cs.lo + cs.hi)
+    d2 = jnp.sum((center[None] - origin[:, None, :]) ** 2, -1)
+    key = jnp.where(overlap, d2, FLT_MAX)
+    neg_top, idx = jax.lax.top_k(-key, V)
+    return idx.astype(jnp.int32), -neg_top < FLT_MAX
+
+
+def _mt_block_multi(blk, o, d):
+    """Möller-Trumbore: shared-origin o (P, 3) against many directions
+    d (P, S, 3) and one gathered block per pixel blk (P, 13, C).
+
+    Returns (t, hit) each (P, S, C).  The S-independent terms (s = o - v0,
+    q = s × e1, and the t numerator e2·q) are computed once per pixel —
+    part of the point of the shared-origin formulation."""
+    def F(i):
+        return blk[:, i, None, :]                          # (P, 1, C)
+    dx, dy, dz = d[..., 0, None], d[..., 1, None], d[..., 2, None]  # (P,S,1)
+    e1x, e1y, e1z = F(_F_E1), F(_F_E1 + 1), F(_F_E1 + 2)
+    e2x, e2y, e2z = F(_F_E2), F(_F_E2 + 1), F(_F_E2 + 2)
+    eps = F(_F_EPS)
+
+    # per-pixel (S-independent): s and q = s × e1, tnum = e2·q
+    sx, sy, sz = (o[:, i, None] - blk[:, _F_V0 + i] for i in range(3))
+    qx = sy * blk[:, _F_E1 + 2] - sz * blk[:, _F_E1 + 1]
+    qy = sz * blk[:, _F_E1] - sx * blk[:, _F_E1 + 2]
+    qz = sx * blk[:, _F_E1 + 1] - sy * blk[:, _F_E1]
+    tnum = (blk[:, _F_E2] * qx + blk[:, _F_E2 + 1] * qy
+            + blk[:, _F_E2 + 2] * qz)                      # (P, C)
+
+    hx = dy * e2z - dz * e2y                               # (P, S, C)
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = (a < eps) & (a > -eps)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    u = f * (sx[:, None, :] * hx + sy[:, None, :] * hy + sz[:, None, :] * hz)
+    v = f * (dx * qx[:, None, :] + dy * qy[:, None, :] + dz * qz[:, None, :])
+    t = f * tnum[:, None, :]
+    hit = (~parallel & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+           & (t > eps))
+    return t, hit
+
+
+def any_hit_tint_shared(cs: ClusterSet, transparent_mask, kt_by_mat,
+                        origin, cids, ok, dirs_fn, nchunks, acc):
+    """Shared-origin soft-shadow sweep, visits-outer / sample-chunks-inner.
+
+    The naive order (per light-sample chunk, per visit: gather + test)
+    re-gathers every cluster block S/lc times; this order gathers each
+    visited block once per pixel per round and streams all sample chunks
+    through it — an S× cut in gather traffic, which profiling shows is the
+    dominant cost of soft shadows on TPU.
+
+    origin: (P, 3); cids/ok: from shadow_visit_order; dirs_fn(chunk_i) ->
+    (d (P, lc, 3), max_dist (P, lc), exclude_gid (P, lc)) regenerates the
+    chunk's sample directions (deterministic PRNG — cheaper than storing
+    all S of them); acc: (blocked (P, nchunks, lc), tint (P, nchunks,
+    lc, 3)) accumulators."""
+    C = cs.blk.shape[2]
+    V = cids.shape[1]
+
+    def visit_body(acc, v):
+        cid = cids[:, v]
+        live = ok[:, v]
+        blk = cs.blk[cid]                                  # (P, 13, C)
+        gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
+        mat = cs.mat[cid]                                  # (P, C)
+        transp = transparent_mask[mat]                     # (P, C)
+        kts = kt_by_mat[mat]                               # (P, C, 3)
+
+        def chunk_body(acc, chunk_i):
+            blocked, tint = acc
+            d, max_dist, exclude_gid = dirs_fn(chunk_i)
+            t, hit = _mt_block_multi(blk, origin, d)       # (P, lc, C)
+            in_range = (hit & live[:, None, None]
+                        & (t < max_dist[..., None])
+                        & (gid[:, None, :] != exclude_gid[..., None]))
+            blk_here = jnp.any(in_range & ~transp[:, None, :], axis=-1)
+            ktp = jnp.prod(
+                jnp.where((in_range & transp[:, None, :])[..., None],
+                          kts[:, None, :, :], 1.0), axis=-2)
+            blocked = blocked.at[:, chunk_i].set(
+                blocked[:, chunk_i] | blk_here)
+            tint = tint.at[:, chunk_i].multiply(ktp)
+            return (blocked, tint), None
+
+        acc, _ = jax.lax.scan(chunk_body, acc, jnp.arange(nchunks))
+        return acc, None
+
+    acc, _ = jax.lax.scan(visit_body, acc, jnp.arange(V))
+    return acc

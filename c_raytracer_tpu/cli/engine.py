@@ -112,6 +112,12 @@ def main(argv=None) -> int:
 
     printf_log("Loading scene.")
     scene = load_scene(inp, scale=scale)
+    if scene.static.n_triangles > 1:
+        # Morton-order triangles for the cluster traversal (the reference
+        # builds its LBVH here too: accel_init after scene_load, main.c:76)
+        from c_raytracer_tpu.accel import reorder_scene
+        printf_log("Generating the BVH.")
+        scene = reorder_scene(scene)
     printf_log("Commencing raytracing.")
     img, z = render(scene, cfg, resx, resy, key)
     img = np.asarray(img)

@@ -63,6 +63,9 @@ class DeviceScene:
 
 def device_scene(params: T.SceneParams, static: T.SceneStatic) -> DeviceScene:
     """Derive device arrays from the differentiable scene params."""
+    # params are host-side NumPy until jit traces them; promote so eager
+    # (un-jitted) use gets device arrays that traced indexing can consume
+    params = jax.tree.map(jnp.asarray, params)
     ns, nt, npl = static.n_spheres, static.n_triangles, static.n_planes
     eps = jnp.asarray(np.asarray(static.epsilon, np.float32))
     v = params.tri_vertices
@@ -192,13 +195,16 @@ def _chunked_min_triangles(ds: DeviceScene, o, d, best, chunk: int):
     return best
 
 
-def closest_hit(ds: DeviceScene, o, d, *, tri_chunk: int = 4096):
+def closest_hit(ds: DeviceScene, o, d, *, tri_chunk: int = 4096,
+                include_triangles: bool = True):
     """Closest intersection over all primitives.
 
     Returns (t, gid, normal): t = FLT_MAX and gid = -1 on miss.  Planes are
     tested first (render.c:118-124 tests unbound objects before the BVH),
     then spheres, then triangles; later tests win only with strictly
-    smaller t (accel.c:328).
+    smaller t (accel.c:328).  ``include_triangles=False`` returns the
+    sphere/plane pre-pass only (the cluster traversal in accel/ folds the
+    triangles instead).
     """
     R = o.shape[:-1]
     best_t = jnp.full(R, FLT_MAX)
@@ -235,13 +241,15 @@ def closest_hit(ds: DeviceScene, o, d, *, tri_chunk: int = 4096):
         best_gid = jnp.where(better, i.astype(jnp.int32), best_gid)
         best_n = jnp.where(better[..., None], n, best_n)
 
-    best_t, best_gid, best_n = _chunked_min_triangles(
-        ds, o, d, (best_t, best_gid, best_n), tri_chunk)
+    if include_triangles:
+        best_t, best_gid, best_n = _chunked_min_triangles(
+            ds, o, d, (best_t, best_gid, best_n), tri_chunk)
     return best_t, best_gid, best_n
 
 
 def any_hit_tint(ds: DeviceScene, transparent_mask, kt_by_mat,
-                 o, d, max_dist, exclude_gid, *, tri_chunk: int = 4096):
+                 o, d, max_dist, exclude_gid, *, tri_chunk: int = 4096,
+                 include_triangles: bool = True):
     """Shadow query (is_light_blocked, render.c:126-134).
 
     Any opaque primitive with a hit at t < max_dist blocks; transparent
@@ -278,7 +286,7 @@ def any_hit_tint(ds: DeviceScene, transparent_mask, kt_by_mat,
         t, hit = sphere_intersect(
             o, d, ds.sph_center, ds.sph_radius, ds.sph_eps)
         fold(t, hit, jnp.arange(ns, dtype=jnp.int32))
-    if nt:
+    if nt and include_triangles:
         nchunks = -(-nt // tri_chunk)
         pad = nchunks * tri_chunk - nt
         def padded(x, fill):

@@ -36,6 +36,13 @@ class RenderConfig:
     gi_chunk: int = 1               # hemisphere samples per scan step
     tri_chunk: int = 2048           # triangles per intersection scan step
 
+    # acceleration structure (reference accel.c LBVH -> cluster sweep,
+    # c_raytracer_tpu/accel/): "auto" | "none" | "cluster"
+    accel: str = "auto"
+    bvh_cluster: int = 64           # triangles per Morton cluster
+    bvh_visits: int = 16            # nearest clusters swept per ray
+    bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
+
     @property
     def min_light_intensity_sqr(self) -> float:
         return self.min_light_intensity * self.min_light_intensity

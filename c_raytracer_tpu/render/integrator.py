@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from c_raytracer_tpu.accel.intersect import make_intersector
 from c_raytracer_tpu.core import vec
 from c_raytracer_tpu.geometry import primitives as G
 from c_raytracer_tpu.render import shading
@@ -101,20 +102,20 @@ def _stack_push(st: RayStack, push_mask, o, d, kr, remaining, inside):
     )
 
 
-def _trace(ds: G.DeviceScene, cfg: RenderConfig, o, d, inside):
+def _trace(ix, o, d, inside):
     """Intersection step with the inside-object re-test quirk
     (render.c:143-148): a ray inside an object tests that object first and
     uses its hit even if other geometry is closer."""
-    ti, hi, ni = G.intersect_prim(ds, o, d, inside)
+    ti, hi, ni = G.intersect_prim(ix.ds, o, d, inside)
     use_inside = (inside >= 0) & hi
-    tc, gc, nc = G.closest_hit(ds, o, d, tri_chunk=cfg.tri_chunk)
+    tc, gc, nc = ix.closest(o, d)
     t = jnp.where(use_inside, ti, tc)
     gid = jnp.where(use_inside, inside, gc)
     n = jnp.where(use_inside[..., None], ni, nc)
     return t, gid, n
 
 
-def _gi_path(ds, static, cfg, key, aux, normal, remaining, active):
+def _gi_path(ix, ds, static, cfg, key, aux, normal, remaining, active):
     """Path-traced GI (render.c:238-287): n_gi hemisphere samples, each a
     one-bounce trace + basic shade, weighted by (δ/n)·cosθ and the child's
     own segment attenuation."""
@@ -138,10 +139,10 @@ def _gi_path(ds, static, cfg, key, aux, normal, remaining, active):
         k_dir, k_shade = jax.random.split(skey)
         sdir, cos = shading.sample_hemisphere(k_dir, normal, eps)
         lane_ok = gi_active & ((i == 0) | lane_active_extra)
-        ct, cgid, cn = _trace(ds, cfg, hit_pt, sdir,
+        ct, cgid, cn = _trace(ix, hit_pt, sdir,
                               jnp.full((P,), -1, jnp.int32))
         child_color, _ = shading.shade_basic(
-            ds, static, cfg, k_shade, hit_pt, sdir, ct, cgid, cn, lane_ok)
+            ix, static, cfg, k_shade, hit_pt, sdir, ct, cgid, cn, lane_ok)
         # child's own kr = delta·cosθ; child's own segment attenuation
         child_color = child_color * (delta * cos)[..., None]
         child_color = shading.attenuate_segment(cfg, child_color, ct)
@@ -164,6 +165,7 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
     sample rays, children pushed, stack-overflow drops.
     """
     P = o.shape[0]
+    ix = make_intersector(ds, cfg)
     any_transparent = any(static.is_transparent)
     rounds = cfg.resolved_rounds(any_transparent)
     reflective = jnp.asarray(np.asarray(static.is_reflective, bool))
@@ -189,12 +191,12 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
 
         (ro, rd, rkr, remaining, inside), active, st = _stack_pop(st)
 
-        t, gid, normal = _trace(ds, cfg, ro, rd, inside)
+        t, gid, normal = _trace(ix, ro, rd, inside)
         hit = gid >= 0
         active_hit = active & hit
 
         obj_color, aux = shading.shade_basic(
-            ds, static, cfg, k_shade, ro, rd, t, gid, normal, active_hit)
+            ix, static, cfg, k_shade, ro, rd, t, gid, normal, active_hit)
         aux["gid"] = gid
 
         # global illumination (render.c:232-289)
@@ -204,7 +206,8 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
                 active_hit[..., None], ambient, 0.0)
         else:
             obj_color = obj_color + _gi_path(
-                ds, static, cfg, k_gi, aux, normal, remaining, active_hit)
+                ix, ds, static, cfg, k_gi, aux, normal, remaining,
+                active_hit)
 
         # accumulate: kr ⊙ obj_color, per-segment attenuation
         # (render.c:291-302)

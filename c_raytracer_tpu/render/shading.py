@@ -161,7 +161,7 @@ def _triangle_light_point(key, v0, e1, e2, hit_pt):
     return v0 + e1 * p[..., None] + e2 * q[..., None]
 
 
-def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
+def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                  key, hit_pt, normal, ray_d, gid, mat, is_outside, tex_col,
                  active):
     """Soft-shadow direct lighting over all emitters (render.c:170-229).
@@ -170,6 +170,7 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
     Per emitter: ke/num_lights intensity per sample, num_lights samples
     scanned in chunks of cfg.light_chunk.
     """
+    ds = ix.ds
     P = hit_pt.shape[0]
     total = jnp.zeros((P, 3), jnp.float32)
     transparent_mask = jnp.asarray(
@@ -193,15 +194,12 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
         # static emitter type dispatch
         is_sphere_emitter = egid < static.n_spheres
 
-        def chunk_body(carry, chunk_i, _egid=egid, _e_mat=e_mat,
-                       _intensity=intensity, _ekey=ekey,
-                       _is_sph=is_sphere_emitter, _lc=lc,
-                       _num_lights=num_lights):
-            acc = carry
+        def light_dirs(chunk_i, _egid=egid, _ekey=ekey,
+                       _is_sph=is_sphere_emitter, _lc=lc):
+            """Chunk's sampled light directions (deterministic per key, so
+            the shadow and shading passes can both regenerate them)."""
             ckey = jax.random.fold_in(_ekey, chunk_i)
             keys = jax.random.split(ckey, _lc)
-            # light points: (P, lc, 3)
-            hp = hit_pt[:, None, :]
             if _is_sph:
                 lp = jax.vmap(
                     lambda k: _sphere_light_point(
@@ -215,17 +213,40 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
                         k, ds.tri_v0[ti], ds.tri_e1[ti], ds.tri_e2[ti],
                         hit_pt),
                     out_axes=1)(keys)
-
-            lvec = lp - hp
+            lvec = lp - hit_pt[:, None, :]
             ldist = vec.safe_mag(lvec)
             ldir = lvec / jnp.where(ldist == 0.0, 1.0, ldist)[..., None]
+            return ldir, ldist
+
+        if ix.has_clusters:
+            # shared-origin sweep: all chunks' occlusion in one pass with
+            # per-pixel visit lists (accel/intersect.py shadow_query)
+            elo, ehi = ix.emitter_bounds(egid)
+            shadow_all = ix.shadow_query(
+                transparent_mask, kt_by_mat, hit_pt, elo, ehi,
+                lambda ci, _egid=egid, _f=light_dirs: (
+                    *_f(ci), jnp.full((hit_pt.shape[0], lc), _egid,
+                                      jnp.int32)),
+                nchunks, lc)
+        else:
+            shadow_all = None
+
+        def chunk_body(carry, chunk_i, _egid=egid, _e_mat=e_mat,
+                       _intensity=intensity, _lc=lc,
+                       _num_lights=num_lights, _dirs=light_dirs,
+                       _shadow=shadow_all):
+            acc = carry
+            ldir, ldist = _dirs(chunk_i)
             a = vec.dot(ldir, normal[:, None, :])
 
-            blocked, tint = G.any_hit_tint(
-                ds, transparent_mask, kt_by_mat,
-                jnp.broadcast_to(hp, lvec.shape), ldir, ldist,
-                jnp.full(ldist.shape, _egid, jnp.int32),
-                tri_chunk=cfg.tri_chunk)
+            if _shadow is None:
+                blocked, tint = ix.any_tint(
+                    transparent_mask, kt_by_mat,
+                    jnp.broadcast_to(hit_pt[:, None, :], ldir.shape), ldir,
+                    ldist, jnp.full(ldist.shape, _egid, jnp.int32))
+            else:
+                blocked = _shadow[0][:, chunk_i]
+                tint = _shadow[1][:, chunk_i]
 
             incoming = _intensity * tint
             incoming = attenuate_light(cfg, incoming, ldist)
@@ -260,11 +281,12 @@ def direct_light(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
     return total
 
 
-def shade_basic(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
+def shade_basic(ix, static: T.SceneStatic, cfg: RenderConfig,
                 key, o, d, t, gid, normal, active):
     """Emission + direct lighting for a batch of hits — the shade of a
     terminal (remaining_bounces==0) ray in path mode, and the base of the
     full shade.  Returns (color (P,3), aux dict)."""
+    ds = ix.ds
     hit = gid >= 0
     active = active & hit
     g = jnp.maximum(gid, 0)
@@ -281,7 +303,7 @@ def shade_basic(ds: G.DeviceScene, static: T.SceneStatic, cfg: RenderConfig,
 
     color = ds.materials.ke[mat]  # emittance (render.c:164)
     color = color + direct_light(
-        ds, static, cfg, key, hit_pt, normal, d, gid, mat, is_outside,
+        ix, static, cfg, key, hit_pt, normal, d, gid, mat, is_outside,
         tex_col, active)
     color = jnp.where(active[..., None], color, 0.0)
     aux = dict(hit_pt=hit_pt, mat=mat, b=b, is_outside=is_outside,

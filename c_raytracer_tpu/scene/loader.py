@@ -228,12 +228,19 @@ def load_scene(path: str, scale: float | str | None = None,
             msc = float(_get_num(params, "scale", scene_name))
             if mesh_root is not None and not os.path.isabs(fname):
                 fname = os.path.join(mesh_root, fname)
+            elif not os.path.isabs(fname) and not os.path.exists(fname):
+                # reference semantics are CWD-relative (object.c:523 fopen);
+                # fall back to the scene file's repo root (scenes/ sibling)
+                alt = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(path))),
+                    fname)
+                if os.path.exists(alt):
+                    fname = alt
             verts = stl_mod.load_stl(fname, pos, rot, msc)
-            for v in verts:
-                tri_vertices.append(v.tolist())
-                tri_mat.append(mi)
-                tri_eps.append(eps)
-                tri_lights.append(nl)
+            tri_vertices.extend(np.asarray(verts, np.float32))
+            tri_mat.extend([mi] * len(verts))
+            tri_eps.extend([eps] * len(verts))
+            tri_lights.extend([nl] * len(verts))
         else:
             raise SceneError(
                 f"Unrecognized object type [{otype}] in scene [{scene_name}].")

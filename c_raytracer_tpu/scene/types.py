@@ -136,7 +136,11 @@ class Scene:
 
 
 def _f32(x):
-    return jnp.asarray(np.asarray(x, dtype=np.float32))
+    # Host-side float32: SceneParams stays NumPy until jit device_puts it
+    # in one batch.  (Building on-device here would force device->host
+    # round-trips in the host-side accel build — pathologically slow over
+    # the axon TPU tunnel.)
+    return np.asarray(x, dtype=np.float32)
 
 
 def make_scene(

@@ -1,0 +1,195 @@
+"""Acceleration-structure tests: Morton build (native C++ vs NumPy),
+cluster traversal vs brute force, scene reordering invariance, and scene4
+golden parity (slow, gated).
+
+The reference has no tests; its BVH correctness story is "same image with
+-DNDEBUG" (SURVEY.md §4).  Here the cluster sweep must be *exactly* the
+brute-force result whenever visits cover every overlapped cluster.
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_raytracer_tpu.accel import (build, make_intersector, native,
+                                   reorder_scene)
+from c_raytracer_tpu.geometry import primitives as G
+from c_raytracer_tpu.render.config import RenderConfig
+from c_raytracer_tpu.scene import types as T
+
+
+def _soup_scene(rng, nt=600):
+    tv = rng.uniform(-3, 3, (nt, 3, 3)).astype(np.float32)
+    tv[:, 1:] = tv[:, :1] + rng.uniform(-0.4, 0.4, (nt, 2, 3)).astype(
+        np.float32)
+    return T.make_scene(
+        sphere_center=[[0.0, 0.0, 0.0]], sphere_radius=[0.5],
+        sphere_material=[0],
+        tri_vertices=tv, tri_material=[1] * nt,
+        plane_point=[[0, -4, 0]], plane_normal=[[0, 1, 0]],
+        plane_material=[0],
+        materials=[
+            dict(ks=[1, 1, 1], ka=[.1, .1, .1], tex_color=[1, 1, 1]),
+            dict(ks=[1, 1, 1], kt=[.5, .6, .7], tex_color=[1, 1, 1]),
+        ],
+        camera=dict(position=[0, 0, -8], vector_x=[1, 0, 0],
+                    vector_y=[0, 1, 0], fov=60, focal_length=1))
+
+
+def _rays(rng, n):
+    o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestMortonBuild:
+    def test_numpy_expand_bits(self):
+        # expand_bits injects 2 zero bits between each of the low 10 bits
+        v = np.array([0, 1, 0b1111111111], np.uint32)
+        out = build.expand_bits_np(v)
+        assert out[0] == 0 and out[1] == 1
+        assert out[2] == 0b1001001001001001001001001001
+
+    def test_native_matches_numpy(self):
+        if not native.available():
+            pytest.skip("native builder unavailable (no g++)")
+        rng = np.random.default_rng(7)
+        cen = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+        perm_native, codes_native = native.morton_sort(cen)
+        codes_np = build.morton_codes_np(cen)
+        np.testing.assert_array_equal(codes_native, codes_np)
+        np.testing.assert_array_equal(
+            perm_native, np.argsort(codes_np, kind="stable"))
+
+    def test_native_stl_matches_numpy(self):
+        if not native.available():
+            pytest.skip("native builder unavailable (no g++)")
+        path = "/root/reference/meshes/utah_teapot_lowpoly.stl"
+        if not os.path.exists(path):
+            pytest.skip("reference mesh not mounted")
+        from c_raytracer_tpu.scene import stl
+        ours = stl.load_stl(path)
+        nat = native.stl_read(path)
+        np.testing.assert_array_equal(nat, ours)
+
+    def test_lbvh_ranges_split_rule(self):
+        if not native.available():
+            pytest.skip("native builder unavailable (no g++)")
+        # sorted codes with an obvious top split at the high bit
+        codes = np.array([0b000, 0b001, 0b011, 0b100, 0b110], np.uint32)
+        ranges = native.lbvh_ranges(codes)
+        # root covers [0,4]; highest differing bit splits 011|100 -> split=2
+        first, last, split = ranges[0]
+        assert (first, last, split) == (0, 4, 2)
+
+
+class TestClusterTraversal:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        return reorder_scene(_soup_scene(np.random.default_rng(0)))
+
+    def test_closest_matches_brute(self, scene):
+        ds = G.device_scene(scene.params, scene.static)
+        o, d = _rays(np.random.default_rng(1), 2048)
+        ib = make_intersector(ds, RenderConfig(accel="none"))
+        ic = make_intersector(ds, RenderConfig(
+            accel="cluster", bvh_cluster=64, bvh_visits=64,
+            bvh_ray_chunk=900))  # chunked path exercised
+        tb, gb, nb = jax.jit(ib.closest)(o, d)
+        tc, gc, nc = jax.jit(ic.closest)(o, d)
+        np.testing.assert_array_equal(np.asarray(gb), np.asarray(gc))
+        hit = np.asarray(gb) >= 0
+        np.testing.assert_allclose(
+            np.asarray(tb)[hit], np.asarray(tc)[hit], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(nb)[hit], np.asarray(nc)[hit], rtol=1e-5, atol=1e-6)
+
+    def test_any_tint_matches_brute(self, scene):
+        ds = G.device_scene(scene.params, scene.static)
+        o, d = _rays(np.random.default_rng(2), 2048)
+        tm = jnp.asarray(np.asarray(scene.static.is_transparent, bool))
+        md = jnp.full((2048,), 6.0)
+        ex = jnp.full((2048,), -1, jnp.int32)
+        ib = make_intersector(ds, RenderConfig(accel="none"))
+        ic = make_intersector(ds, RenderConfig(
+            accel="cluster", bvh_cluster=64, bvh_visits=64))
+        bb, tb = jax.jit(lambda *a: ib.any_tint(*a))(
+            tm, ds.materials.kt, o, d, md, ex)
+        bc, tc = jax.jit(lambda *a: ic.any_tint(*a))(
+            tm, ds.materials.kt, o, d, md, ex)
+        np.testing.assert_array_equal(np.asarray(bb), np.asarray(bc))
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=1e-6)
+
+    def test_gradients_flow_through_clusters(self, scene):
+        """d(sum of hit distances)/d(vertices) must match brute force."""
+        o, d = _rays(np.random.default_rng(3), 256)
+
+        def loss(tv, cfg):
+            params = dataclasses.replace(scene.params, tri_vertices=tv)
+            ds = G.device_scene(params, scene.static)
+            ix = make_intersector(ds, cfg)
+            t, gid, n = ix.closest(o, d)
+            return jnp.sum(jnp.where(gid >= 0, t, 0.0))
+
+        gb = jax.grad(loss)(scene.params.tri_vertices,
+                            RenderConfig(accel="none"))
+        gc = jax.grad(loss)(scene.params.tri_vertices,
+                            RenderConfig(accel="cluster", bvh_cluster=64,
+                                         bvh_visits=64))
+        # componentwise MT vs stacked MT reassociate float ops; allow noise
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gc),
+                                   rtol=2e-3, atol=1e-5)
+
+
+class TestReorder:
+    def test_reorder_is_pure_permutation(self):
+        scene = _soup_scene(np.random.default_rng(4), nt=100)
+        re = reorder_scene(scene)
+        # same triangle multiset
+        a = np.asarray(scene.params.tri_vertices)
+        b = np.asarray(re.params.tri_vertices)
+        assert sorted(map(tuple, a.reshape(100, -1).tolist())) \
+            == sorted(map(tuple, b.reshape(100, -1).tolist()))
+        # per-triangle tables permuted consistently
+        perm = build.morton_order(a)
+        ns = scene.static.n_spheres
+        assert re.static.material_index[ns:ns + 100] == tuple(
+            scene.static.material_index[ns + int(i)] for i in perm)
+        # identical closest-hit results
+        o, d = _rays(np.random.default_rng(5), 512)
+        dsa = G.device_scene(scene.params, scene.static)
+        dsb = G.device_scene(re.params, re.static)
+        cfg = RenderConfig(accel="none")
+        ta, ga, _ = make_intersector(dsa, cfg).closest(o, d)
+        tb, gb, _ = make_intersector(dsb, cfg).closest(o, d)
+        hit = np.asarray(ga) >= 0
+        np.testing.assert_array_equal(hit, np.asarray(gb) >= 0)
+        np.testing.assert_allclose(np.asarray(ta)[hit], np.asarray(tb)[hit],
+                                   rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.environ.get("CRT_SLOW"),
+                    reason="slow golden test; set CRT_SLOW=1")
+class TestScene4Golden:
+    """Full scene4 (12 meshes, 27.6k tris, DoF-free default flags) against
+    the reference binary's render — run on TPU (CRT_TEST_TPU=1 CRT_SLOW=1)
+    or be patient on CPU."""
+
+    def test_golden(self, reference_root):
+        from c_raytracer_tpu.image import read_tiff
+        from c_raytracer_tpu.render import render
+        from c_raytracer_tpu.scene import load_scene
+        sc = reorder_scene(
+            load_scene(os.path.join(reference_root, "scenes/scene4.json")))
+        img, _ = render(sc, RenderConfig(), 128, 128, jax.random.PRNGKey(0))
+        q = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.int32)
+        g, _ = read_tiff(os.path.join(os.path.dirname(__file__), "goldens",
+                                      "scene4_128_default.tif"))
+        gq = (g * 255.0).astype(np.int32)
+        diff = np.abs(q - gq).max(-1)
+        assert (diff <= 1).mean() >= 0.995

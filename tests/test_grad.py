@@ -71,6 +71,13 @@ def check_component(loss, params, grads, getter, setter, eps, rtol,
         f"grad mismatch: analytic {analytic} vs FD {numeric}")
 
 
+def _set(leaf, idx, v):
+    """Functional index-set on a host-side (NumPy) SceneParams leaf."""
+    leaf = np.array(leaf)
+    leaf[idx] = v
+    return leaf
+
+
 class TestGradVsFiniteDifferences:
     def test_all_grads_finite(self, setup):
         _, _, g = setup
@@ -94,7 +101,7 @@ class TestGradVsFiniteDifferences:
 
         def setter(tree, v):
             leaf = getattr(tree, name)
-            leaf = leaf.at[i].set(v) if j is None else leaf.at[i, j].set(v)
+            leaf = _set(leaf, i if j is None else (i, j), v)
             return dataclasses.replace(tree, **{name: leaf})
 
         # eps must stay below the first silhouette/occlusion pixel flip:
@@ -116,7 +123,7 @@ class TestGradVsFiniteDifferences:
         def setter(tree, v):
             mats = dataclasses.replace(
                 tree.materials,
-                **{field: getattr(tree.materials, field).at[idx].set(v)})
+                **{field: _set(getattr(tree.materials, field), idx, v)})
             return dataclasses.replace(tree, materials=mats)
 
         check_component(loss, scene.params, g, getter, setter,
@@ -134,7 +141,8 @@ class TestGradVsFiniteDifferences:
 
         def setter(tree, v):
             old = getattr(tree.camera, field)
-            new = old.at[idx].set(v) if idx is not None else jnp.float32(v)
+            new = (_set(old, idx, v) if idx is not None
+                   else np.float32(v))
             cam = dataclasses.replace(tree.camera, **{field: new})
             return dataclasses.replace(tree, camera=cam)
 
