@@ -55,6 +55,36 @@ def measure_ours():
     return total_rays / dt, total_rays, dt
 
 
+def measure_ours_bwd(rays_per_pixel):
+    """fwd+bwd rays/s: gradient of an L2 loss w.r.t. every scene param
+    (the BASELINE's differentiable-render metric), at 256² to bound the
+    backward sweep's memory."""
+    import jax
+    import jax.numpy as jnp
+
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    res = 256
+    scene = load_scene(SCENE)
+    fn = make_renderer(scene.static, RenderConfig(), res, res, jit=False)
+
+    def loss(params, key):
+        img, _ = fn(params, key)
+        return jnp.mean(img * img)
+
+    g = jax.jit(jax.grad(loss))
+    out = g(scene.params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = g(scene.params, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    return res * res * rays_per_pixel / dt, dt
+
+
 def measure_reference():
     """Build + run the reference C engine; returns rays/s or None."""
     try:
@@ -86,6 +116,11 @@ def main():
     rays_per_s, total_rays, dt = measure_ours()
     rays_per_pixel = total_rays / (RES * RES)
 
+    try:
+        bwd_rays_per_s, bwd_dt = measure_ours_bwd(rays_per_pixel)
+    except Exception:
+        bwd_rays_per_s, bwd_dt = -1.0, -1.0
+
     ref = measure_reference()
     if ref is not None:
         ref_pixels, ref_dt = ref
@@ -102,6 +137,8 @@ def main():
         "detail": {
             "seconds_per_frame": round(dt, 4),
             "rays_per_pixel": round(rays_per_pixel, 1),
+            "fwd_bwd_rays_per_s_256": round(bwd_rays_per_s),
+            "fwd_bwd_seconds_256": round(bwd_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))

@@ -101,10 +101,21 @@ class Intersector:
         blocked = jnp.zeros((P, nchunks, lc), bool)
         tint = jnp.ones((P, nchunks, lc, 3), jnp.float32)
 
+        # materialize every chunk's sample directions once — the visit
+        # sweep would otherwise regenerate them V× (PRNG + trig per call)
+        def gen(chunk_i):
+            d, max_dist, exclude_gid = dirs_fn(chunk_i)
+            return d, max_dist, exclude_gid
+
+        dirs_all = jax.lax.map(gen, jnp.arange(nchunks))  # (nchunks, P, ...)
+
+        def cached_dirs(chunk_i):
+            return jax.tree.map(lambda x: x[chunk_i], dirs_all)
+
         # sphere/plane brute pre-pass per chunk (cheap: few primitives)
         def chunk_pre(acc, chunk_i):
             blocked, tint = acc
-            d, max_dist, exclude_gid = dirs_fn(chunk_i)
+            d, max_dist, exclude_gid = cached_dirs(chunk_i)
             b, t = G.any_hit_tint(
                 self.ds, transparent_mask, kt_by_mat,
                 jnp.broadcast_to(origin[:, None, :], d.shape), d,
@@ -120,7 +131,7 @@ class Intersector:
             self.cfg.bvh_visits)
         blocked, tint = traverse.any_hit_tint_shared(
             self.clusters, transparent_mask, kt_by_mat, origin, cids, ok,
-            dirs_fn, nchunks, (blocked, tint))
+            cached_dirs, nchunks, (blocked, tint))
         return blocked, tint
 
     def emitter_bounds(self, egid: int):

@@ -31,7 +31,6 @@ exact (tests/test_accel.py pins brute-force equality); raise
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +157,6 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
     C = cs.blk.shape[2]
     cids, ok, entry = _visit_order(cs, o, d, visits)
     V = cids.shape[1]
-    rows = jnp.arange(o.shape[0])
 
     def body(best, v):
         bt, bg, bn = best
@@ -231,12 +229,26 @@ def shadow_visit_order(cs: ClusterSet, origin, hull_lo, hull_hi,
     origin = jax.lax.stop_gradient(origin)
     K = cs.lo.shape[0]
     V = min(visits, K)
-    lo = jnp.minimum(hull_lo, origin)[:, None, :]          # (P, 1, 3)
-    hi = jnp.maximum(hull_hi, origin)[:, None, :]
-    overlap = jnp.all((cs.lo[None] <= hi) & (cs.hi[None] >= lo), -1)
-    center = 0.5 * (cs.lo + cs.hi)
-    d2 = jnp.sum((center[None] - origin[:, None, :]) ** 2, -1)
-    key = jnp.where(overlap, d2, FLT_MAX)
+    center = 0.5 * (cs.lo + cs.hi)                         # (K, 3)
+    half_diag = 0.5 * jnp.linalg.norm(cs.hi - cs.lo, axis=-1)  # (K,)
+    ecenter = 0.5 * (hull_lo + hull_hi)
+    erad = 0.5 * jnp.linalg.norm(hull_hi - hull_lo)
+    # conservative capsule test: every shadow segment runs from the origin
+    # into the emitter bounds, so it stays within distance s·erad of the
+    # origin→emitter-center chord at fractional position s.  A cluster can
+    # only be hit if its center is within half_diag + s·erad of the chord —
+    # much tighter than an AABB hull for long segments, so a smaller V
+    # covers all true overlaps.
+    seg = ecenter[None] - origin                           # (P, 3)
+    seglen2 = jnp.maximum(jnp.sum(seg * seg, -1), 1e-30)   # (P,)
+    rel = center[None, :, :] - origin[:, None, :]          # (P, K, 3)
+    s = jnp.clip(jnp.einsum("pkc,pc->pk", rel, seg) / seglen2[:, None],
+                 0.0, 1.0)
+    closest = s[..., None] * seg[:, None, :]               # (P, K, 3)
+    d2 = jnp.sum((rel - closest) ** 2, -1)
+    margin = half_diag[None] + s * erad
+    overlap = d2 <= margin * margin
+    key = jnp.where(overlap, jnp.sum(rel * rel, -1), FLT_MAX)
     neg_top, idx = jax.lax.top_k(-key, V)
     return idx.astype(jnp.int32), -neg_top < FLT_MAX
 

@@ -8,8 +8,6 @@ falls out directly (the BASELINE north star).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -185,11 +185,27 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
                       if cfg.gi_model == GI_PATH else 0.0)
 
     def round_body(carry, round_i):
-        st, color, z, stats = carry
+        st_in, color_in, z_in, stats_in = carry
         rkey = jax.random.fold_in(key, round_i)
         k_shade, k_gi = jax.random.split(rkey)
 
-        (ro, rd, rkr, remaining, inside), active, st = _stack_pop(st)
+        (ro, rd, rkr, remaining, inside), active, st_p = _stack_pop(st_in)
+
+        # dead-round skip: once every pixel's stack is empty the remaining
+        # scheduled rounds (rounds is a static worst-case bound) do no work.
+        # A real branch here lets XLA skip the whole trace+shade body — the
+        # wavefront analog of the reference's recursion simply returning.
+        carry = jax.lax.cond(
+            jnp.any(active),
+            _live_round,
+            lambda args: (args[0], args[6], args[7], args[8]),
+            (st_p, ro, rd, rkr, remaining, inside, color_in, z_in,
+             stats_in, active, k_shade, k_gi))
+        return carry, None
+
+    def _live_round(args):
+        (st, ro, rd, rkr, remaining, inside, color, z, stats, active,
+         k_shade, k_gi) = args
 
         t, gid, normal = _trace(ix, ro, rd, inside)
         hit = gid >= 0
@@ -260,7 +276,7 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
             jnp.sum(pushed),                                # children pushed
             jnp.sum(wanted.astype(jnp.float32)) - jnp.sum(pushed),  # dropped
         ])
-        return (st, color, z, stats), None
+        return (st, color, z, stats)
 
     (stf, color, z, stats), _ = jax.lax.scan(
         round_body, (st0, color0, z0, stats0), jnp.arange(rounds))

@@ -230,12 +230,24 @@ def load_scene(path: str, scale: float | str | None = None,
                 fname = os.path.join(mesh_root, fname)
             elif not os.path.isabs(fname) and not os.path.exists(fname):
                 # reference semantics are CWD-relative (object.c:523 fopen);
-                # fall back to the scene file's repo root (scenes/ sibling)
+                # fall back to the scene file's repo root (scenes/ sibling),
+                # then to the substitute-mesh dir (assets/meshes holds
+                # generated stand-ins for the dragon/menger STLs missing
+                # from the reference mount — tools/gen_meshes.py)
                 alt = os.path.join(
                     os.path.dirname(os.path.dirname(os.path.abspath(path))),
                     fname)
+                sub = os.path.join(
+                    os.environ.get(
+                        "CRT_MESH_SUBSTITUTES",
+                        os.path.join(os.path.dirname(os.path.dirname(
+                            os.path.dirname(os.path.abspath(__file__)))),
+                            "assets", "meshes")),
+                    os.path.basename(fname))
                 if os.path.exists(alt):
                     fname = alt
+                elif os.path.exists(sub):
+                    fname = sub
             verts = stl_mod.load_stl(fname, pos, rot, msc)
             tri_vertices.extend(np.asarray(verts, np.float32))
             tri_mat.extend([mi] * len(verts))

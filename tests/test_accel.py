@@ -193,3 +193,43 @@ class TestScene4Golden:
         gq = (g * 255.0).astype(np.int32)
         diff = np.abs(q - gq).max(-1)
         assert (diff <= 1).mean() >= 0.995
+
+
+class TestScene56Substitutes:
+    """scene5/scene6 reference the dragon/menger STLs missing from the
+    mount (.MISSING_LARGE_BLOBS); the loader falls back to generated
+    substitutes in assets/meshes (tools/gen_meshes.py)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def meshes(self):
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        need = [os.path.join(repo, "assets", "meshes", f)
+                for f in ("dragon.stl", "menger_sponge.stl")]
+        if not all(os.path.exists(p) for p in need):
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "tools/gen_meshes.py")],
+                check=True, timeout=300)
+
+    @pytest.mark.parametrize("num,min_tris", [(5, 50000), (6, 20000)])
+    def test_loads(self, reference_root, num, min_tris):
+        from c_raytracer_tpu.scene import load_scene
+        sc = load_scene(
+            os.path.join(reference_root, f"scenes/scene{num}.json"))
+        assert sc.static.n_triangles >= min_tris
+        assert sc.static.emitter_prims  # the light sphere
+
+    def test_scene5_renders(self, reference_root):
+        from c_raytracer_tpu.render import render
+        from c_raytracer_tpu.scene import load_scene
+        sc = load_scene(
+            os.path.join(reference_root, "scenes/scene5.json"))
+        sc = reorder_scene(sc)
+        nl = tuple(min(n, 2) for n in sc.static.num_lights)
+        sc = dataclasses.replace(
+            sc, static=dataclasses.replace(sc.static, num_lights=nl))
+        img, z = render(sc, RenderConfig(max_bounces=2, rounds=4), 24, 24,
+                        jax.random.PRNGKey(0))
+        img = np.asarray(img)
+        assert np.isfinite(img).all() and (np.asarray(z) > 0).any()
