@@ -131,7 +131,8 @@ class Intersector:
             self.cfg.bvh_visits)
         blocked, tint = traverse.any_hit_tint_shared(
             self.clusters, transparent_mask, kt_by_mat, origin, cids, ok,
-            cached_dirs, nchunks, (blocked, tint))
+            cached_dirs, nchunks, (blocked, tint),
+            remat=getattr(self.cfg, "remat", True))
         return blocked, tint
 
     def emitter_bounds(self, egid: int):

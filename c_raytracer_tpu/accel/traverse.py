@@ -290,7 +290,8 @@ def _mt_block_multi(blk, o, d):
 
 
 def any_hit_tint_shared(cs: ClusterSet, transparent_mask, kt_by_mat,
-                        origin, cids, ok, dirs_fn, nchunks, acc):
+                        origin, cids, ok, dirs_fn, nchunks, acc, *,
+                        remat: bool = True):
     """Shared-origin soft-shadow sweep, visits-outer / sample-chunks-inner.
 
     The naive order (per light-sample chunk, per visit: gather + test)
@@ -335,5 +336,8 @@ def any_hit_tint_shared(cs: ClusterSet, transparent_mask, kt_by_mat,
         acc, _ = jax.lax.scan(chunk_body, acc, jnp.arange(nchunks))
         return acc, None
 
-    acc, _ = jax.lax.scan(visit_body, acc, jnp.arange(V))
+    # remat per visit: the (P, lc, C) Möller-Trumbore intermediates of
+    # every (visit, chunk) step must not be saved for the backward pass
+    body = jax.checkpoint(visit_body) if remat else visit_body
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
     return acc

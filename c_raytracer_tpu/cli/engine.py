@@ -43,6 +43,10 @@ OPTIONAL PARAMETERS:
 [-o] (float)                     : DEFAULT = 1       : light attenuation offset.
 [-f]                             : DEFAULT = OFF     : save raw output for post-processing.
 [--seed] (integer)               : DEFAULT = 0       : PRNG key (unlike the reference, renders are deterministic).
+[--chunks] (integer)             : DEFAULT = 1       : progressive sample chunks (checkpointed with --checkpoint).
+[--checkpoint] (string)          : DEFAULT = OFF     : raw-TIFF render checkpoint; resumes if present.
+[--profile] (string)             : DEFAULT = OFF     : write a jax.profiler trace to this directory.
+[--stats]                        : DEFAULT = OFF     : print traced-ray counts and rays/second.
 """
 
 
@@ -118,10 +122,45 @@ def main(argv=None) -> int:
         from c_raytracer_tpu.accel import reorder_scene
         printf_log("Generating the BVH.")
         scene = reorder_scene(scene)
+
+    profile_dir = _flag(argv, "--profile")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir[0])
+
     printf_log("Commencing raytracing.")
-    img, z = render(scene, cfg, resx, resy, key)
+    chunks = _flag(argv, "--chunks")
+    ckpt = _flag(argv, "--checkpoint")
+    import time as _time
+    t_render = _time.perf_counter()
+    if chunks or ckpt:
+        from c_raytracer_tpu.render import render_progressive
+        img, z = render_progressive(
+            scene, cfg, resx, resy, key,
+            chunks=int(chunks[0]) if chunks else 1,
+            checkpoint=ckpt[0] if ckpt else None,
+            log=printf_log)
+    elif _flag(argv, "--stats", nargs=0):
+        from c_raytracer_tpu.render import make_renderer
+        fn = make_renderer(scene.static, cfg, resx, resy, with_stats=True)
+        img, z, stats = fn(scene.params, key)
+        img.block_until_ready()
+        dt = _time.perf_counter() - t_render
+        total = float(stats["main_rays"] + stats["shadow_rays"]
+                      + stats["gi_rays"])
+        printf_log(
+            "Traced %.3e rays (%.3e main, %.3e shadow, %.3e GI, "
+            "%.0f dropped) in %.2fs: %.3e rays/s.",
+            total, float(stats["main_rays"]), float(stats["shadow_rays"]),
+            float(stats["gi_rays"]), float(stats["dropped"]), dt,
+            total / dt)
+    else:
+        img, z = render(scene, cfg, resx, resy, key)
     img = np.asarray(img)
     z = np.asarray(z)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        printf_log("Profiler trace written to [%s].", profile_dir[0])
 
     printf_log("Saving image.")
     if not outp.endswith((".tif", ".tiff")) and ".tif" not in outp:

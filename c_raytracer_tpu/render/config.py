@@ -36,6 +36,11 @@ class RenderConfig:
     gi_chunk: int = 1               # hemisphere samples per scan step
     tri_chunk: int = 2048           # triangles per intersection scan step
 
+    # rematerialize each wavefront round in the backward pass: residuals
+    # of the shadow/GI chunk scans otherwise exceed HBM at production
+    # resolutions (trade FLOPs for memory, the standard TPU recipe)
+    remat: bool = True
+
     # acceleration structure (reference accel.c LBVH -> cluster sweep,
     # c_raytracer_tpu/accel/): "auto" | "none" | "cluster"
     accel: str = "auto"

@@ -150,8 +150,9 @@ def _gi_path(ix, ds, static, cfg, key, aux, normal, remaining, active):
                                 child_color, 0.0)
         return acc + child_color, None
 
+    body = jax.checkpoint(sample_body) if cfg.remat else sample_body
     acc, _ = jax.lax.scan(
-        sample_body, jnp.zeros((P, 3), jnp.float32), jnp.arange(n_max))
+        body, jnp.zeros((P, 3), jnp.float32), jnp.arange(n_max))
     return acc
 
 
@@ -278,8 +279,9 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
         ])
         return (st, color, z, stats)
 
+    body = jax.checkpoint(round_body) if cfg.remat else round_body
     (stf, color, z, stats), _ = jax.lax.scan(
-        round_body, (st0, color0, z0, stats0), jnp.arange(rounds))
+        body, (st0, color0, z0, stats0), jnp.arange(rounds))
     if with_stats:
         # NOTE: GI child rays also spawn their own shadow rays in the
         # reference (the child cast does full direct lighting); those are

@@ -274,8 +274,11 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             contrib = jnp.where(ok[..., None], diffuse + spec, 0.0)
             return acc + jnp.sum(contrib, axis=1), None
 
+        # remat each chunk in the backward pass: per-chunk residuals are
+        # (P, lc, ...)-shaped and explode HBM at production resolutions
+        body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
         acc, _ = jax.lax.scan(
-            chunk_body, jnp.zeros((P, 3), jnp.float32),
+            body, jnp.zeros((P, 3), jnp.float32),
             jnp.arange(nchunks))
         total = total + acc
     return total
