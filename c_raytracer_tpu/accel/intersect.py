@@ -7,9 +7,9 @@ the TPU-native equivalent seam.  Spheres and planes are always dense
 object.h:84); triangles go through the cluster sweep (traverse.py) once the
 scene is big enough for the dense (rays × triangles) product to lose.
 
-Shadow queries arrive shaped (P, light_samples); the cluster path flattens
-and chunks them (``bvh_ray_chunk``) so the per-visit gather buffers stay
-HBM-friendly.
+Interface is SoA (``V3`` component arrays, ray axis last-minor — see
+core/v3.py); the cluster sweep's per-ray gathered blocks are AoS
+internally and convert at this seam.
 """
 
 from __future__ import annotations
@@ -19,12 +19,16 @@ from typing import TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from c_raytracer_tpu.accel import traverse
+from c_raytracer_tpu.core import v3 as v3m
+from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.geometry import primitives as G
 
 if TYPE_CHECKING:  # avoid the accel <-> render import cycle at runtime
     from c_raytracer_tpu.render.config import RenderConfig
+    from c_raytracer_tpu.scene import types as T
 
 # dense is faster below this triangle count (dense streams the triangle
 # arrays once per chunk; clusters pay a gather per ray per visit)
@@ -36,104 +40,119 @@ class Intersector:
     """Closure-captured query object used by the integrator and shading."""
 
     ds: G.DeviceScene
+    static: 'T.SceneStatic'
     cfg: 'RenderConfig'
     clusters: traverse.ClusterSet | None
 
-    def closest(self, o, d):
-        """(t, gid, normal) over the whole scene; leading dims arbitrary."""
+    def closest(self, o: V3, d: V3):
+        """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,)."""
         if self.clusters is None:
-            return G.closest_hit(self.ds, o, d, tri_chunk=self.cfg.tri_chunk)
-        best = G.closest_hit(self.ds, o, d, include_triangles=False)
-        lead = o.shape[:-1]
-        o2 = o.reshape(-1, 3)
-        d2 = d.reshape(-1, 3)
-        best2 = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[len(lead):]),
-                             best)
+            return G.closest_hit_soa(self.ds, self.static, o, d,
+                                     tri_chunk=self.cfg.tri_chunk)
+        t, gid, mat, n = G.closest_hit_soa(
+            self.ds, self.static, o, d, include_triangles=False)
+        o2, d2 = v3m.to_aos(o), v3m.to_aos(d)
         out = self._chunked(
             lambda args: traverse.closest_hit_clusters(
                 self.clusters, args[0], args[1], tuple(args[2]),
                 visits=self.cfg.bvh_visits),
-            (o2, d2, list(best2)), o2.shape[0])
-        return jax.tree.map(
-            lambda x: x.reshape(lead + x.shape[1:]), tuple(out))
+            (o2, d2, [t, gid, v3m.to_aos(n)]), o2.shape[0])
+        t, gid, n_aos = out
+        # triangle winners need a material gather (the only one on this
+        # path; spheres/planes carried theirs statically)
+        ns = self.static.n_spheres
+        is_tri = (gid >= ns) & (gid < ns + self.static.n_triangles)
+        mat_tri = self.ds.mat_idx[jnp.clip(gid, 0, self.ds.mat_idx.shape[0]
+                                           - 1)]
+        mat = jnp.where(is_tri, mat_tri, mat)
+        return t, gid, mat, v3m.from_aos(n_aos)
 
-    def any_tint(self, transparent_mask, kt_by_mat, o, d, max_dist,
-                 exclude_gid):
-        """(blocked, tint) shadow query; leading dims arbitrary."""
+    def any_tint(self, o: V3, d: V3, max_dist, exclude_gid):
+        """(blocked, tint V3) shadow query; component shapes arbitrary."""
         if self.clusters is None:
-            return G.any_hit_tint(
-                self.ds, transparent_mask, kt_by_mat, o, d, max_dist,
-                exclude_gid, tri_chunk=self.cfg.tri_chunk)
-        blocked, tint = G.any_hit_tint(
-            self.ds, transparent_mask, kt_by_mat, o, d, max_dist,
-            exclude_gid, include_triangles=False)
-        lead = o.shape[:-1]
-        flat = (o.reshape(-1, 3), d.reshape(-1, 3),
-                max_dist.reshape(-1), exclude_gid.reshape(-1),
-                [blocked.reshape(-1), tint.reshape(-1, 3)])
+            return G.any_hit_tint_soa(self.ds, self.static, o, d, max_dist,
+                                      exclude_gid,
+                                      tri_chunk=self.cfg.tri_chunk)
+        blocked, tint = G.any_hit_tint_soa(
+            self.ds, self.static, o, d, max_dist, exclude_gid,
+            include_triangles=False)
+        transparent_mask = jnp.asarray(
+            np.asarray(self.static.is_transparent, bool))
+        lead = jnp.shape(d.x)
+        o2 = jnp.broadcast_to(v3m.to_aos(o), lead + (3,)).reshape(-1, 3)
+        d2 = v3m.to_aos(d).reshape(-1, 3)
+        ex = jnp.broadcast_to(jnp.asarray(exclude_gid, jnp.int32),
+                              lead).reshape(-1)
+        flat = (o2, d2, max_dist.reshape(-1), ex,
+                [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(
             lambda args: traverse.any_hit_tint_clusters(
-                self.clusters, transparent_mask, kt_by_mat,
+                self.clusters, transparent_mask, self.ds.materials.kt,
                 args[0], args[1], args[2], args[3], tuple(args[4]),
                 visits=self.cfg.bvh_visits),
             flat, flat[0].shape[0])
         blocked, tint = out
-        return blocked.reshape(lead), tint.reshape(lead + (3,))
+        return (blocked.reshape(lead), v3m.from_aos(tint.reshape(lead + (3,))))
 
     @property
     def has_clusters(self) -> bool:
         return self.clusters is not None
 
-    def shadow_query(self, transparent_mask, kt_by_mat, origin,
-                     emitter_lo, emitter_hi, dirs_fn, nchunks, lc):
+    def shadow_query(self, origin: V3, emitter_lo, emitter_hi, dirs_fn,
+                     egid, nchunks, lc):
         """Shared-origin soft-shadow query over all sample chunks at once.
 
-        origin: (P, 3) per-pixel hit points; emitter_lo/hi: (3,) emitter
-        AABB; dirs_fn(chunk_i) -> (d (P, lc, 3), max_dist (P, lc),
-        exclude_gid (P, lc)).  Returns (blocked (P, nchunks, lc),
-        tint (P, nchunks, lc, 3)).
+        origin: V3 (P,) per-pixel hit points; emitter_lo/hi: (3,) emitter
+        AABB; dirs_fn(chunk_i) -> (ldir V3 (lc, P), ldist (lc, P)).
+        Returns (blocked, tint_x, tint_y, tint_z), each (nchunks, lc, P) —
+        chunk-indexable by the caller's shading scan.
 
         Requires clusters (callers fall back to per-chunk ``any_tint``
         otherwise).  Visit lists are computed once per pixel
         (traverse.shadow_visit_order) and each cluster block is gathered
         once per pixel while every sample chunk streams through it."""
-        P = origin.shape[0]
-        blocked = jnp.zeros((P, nchunks, lc), bool)
-        tint = jnp.ones((P, nchunks, lc, 3), jnp.float32)
+        P = jnp.shape(origin.x)[0]
+        transparent_mask = jnp.asarray(
+            np.asarray(self.static.is_transparent, bool))
 
-        # materialize every chunk's sample directions once — the visit
-        # sweep would otherwise regenerate them V× (PRNG + trig per call)
+        # sphere/plane brute pre-pass per chunk (cheap: few primitives),
+        # SoA; also materializes every chunk's sample dirs once for reuse
         def gen(chunk_i):
-            d, max_dist, exclude_gid = dirs_fn(chunk_i)
-            return d, max_dist, exclude_gid
+            ldir, ldist = dirs_fn(chunk_i)
+            b, tn = G.any_hit_tint_soa(
+                self.ds, self.static, origin.map(lambda x: x[None]), ldir,
+                ldist, egid, include_triangles=False)
+            return (v3m.to_aos(ldir), ldist, b, tn.x, tn.y, tn.z)
 
-        dirs_all = jax.lax.map(gen, jnp.arange(nchunks))  # (nchunks, P, ...)
+        dirs_aos, ldist_all, blocked, tx, ty, tz = jax.lax.map(
+            gen, jnp.arange(nchunks))  # (nchunks, lc, P, ...)
+
+        # cluster sweep over the triangles, AoS internals
+        origin_aos = v3m.to_aos(origin)
+        cids, ok = traverse.shadow_visit_order(
+            self.clusters, origin_aos, emitter_lo, emitter_hi,
+            self.cfg.bvh_visits)
 
         def cached_dirs(chunk_i):
-            return jax.tree.map(lambda x: x[chunk_i], dirs_all)
+            # traverse expects (P, lc, ...) AoS
+            d = jnp.moveaxis(dirs_aos[chunk_i], 0, 1)        # (P, lc, 3)
+            md = jnp.moveaxis(ldist_all[chunk_i], 0, 1)      # (P, lc)
+            exg = jnp.full(md.shape, egid, jnp.int32)
+            return d, md, exg
 
-        # sphere/plane brute pre-pass per chunk (cheap: few primitives)
-        def chunk_pre(acc, chunk_i):
-            blocked, tint = acc
-            d, max_dist, exclude_gid = cached_dirs(chunk_i)
-            b, t = G.any_hit_tint(
-                self.ds, transparent_mask, kt_by_mat,
-                jnp.broadcast_to(origin[:, None, :], d.shape), d,
-                max_dist, exclude_gid, include_triangles=False)
-            return (blocked.at[:, chunk_i].set(b),
-                    tint.at[:, chunk_i].set(t)), None
-
-        (blocked, tint), _ = jax.lax.scan(
-            chunk_pre, (blocked, tint), jnp.arange(nchunks))
-
-        cids, ok = traverse.shadow_visit_order(
-            self.clusters, origin, emitter_lo, emitter_hi,
-            self.cfg.bvh_visits)
-        blocked, tint = traverse.any_hit_tint_shared(
-            self.clusters, transparent_mask, kt_by_mat, origin, cids, ok,
-            cached_dirs, nchunks, (blocked, tint),
+        acc = (jnp.moveaxis(blocked, 2, 1),                  # (nc, P, lc)
+               jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 1))
+        acc = (jnp.moveaxis(acc[0], 0, 1),                   # (P, nc, lc)
+               jnp.moveaxis(acc[1], 0, 1))                   # (P, nc, lc, 3)
+        blocked2, tint2 = traverse.any_hit_tint_shared(
+            self.clusters, transparent_mask, self.ds.materials.kt,
+            origin_aos, cids, ok, cached_dirs, nchunks, acc,
             remat=getattr(self.cfg, "remat", True))
-        return blocked, tint
+        # back to chunk-major SoA: (nchunks, lc, P)
+        blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
+        tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)
+        return (blocked_out, tint_out[..., 0], tint_out[..., 1],
+                tint_out[..., 2])
 
     def emitter_bounds(self, egid: int):
         """(lo, hi) AABB of emitter primitive ``egid`` (host-static id)."""
@@ -171,11 +190,11 @@ class Intersector:
             lambda x: x.reshape((nchunks * chunk,) + x.shape[2:])[:n], out)
 
 
-def make_intersector(ds: G.DeviceScene, cfg: 'RenderConfig') -> Intersector:
+def make_intersector(ds: G.DeviceScene, static, cfg) -> Intersector:
     nt = ds.tri_v0.shape[0]
     mode = cfg.accel
     if mode == "auto":
         mode = "cluster" if nt >= AUTO_THRESHOLD else "none"
     clusters = (traverse.pack_clusters(ds, cfg.bvh_cluster)
                 if (mode == "cluster" and nt) else None)
-    return Intersector(ds=ds, cfg=cfg, clusters=clusters)
+    return Intersector(ds=ds, static=static, cfg=cfg, clusters=clusters)

@@ -32,7 +32,8 @@ class RenderConfig:
     rounds: int | None = None       # wavefront rounds; None -> heuristic
     stack_size: int = 8             # per-pixel pending-ray stack capacity
     tile_size: int = 65536          # pixels per wavefront tile
-    light_chunk: int = 8            # soft-shadow samples per scan step
+    light_chunk: int = 40           # soft-shadow samples per scan step
+                                    # (multiple of 8: sublane-aligned)
     gi_chunk: int = 1               # hemisphere samples per scan step
     tri_chunk: int = 2048           # triangles per intersection scan step
 

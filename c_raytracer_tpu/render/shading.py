@@ -17,9 +17,15 @@ reference's idiosyncrasies preserved (SURVEY.md §3.5):
 * sphere light points use the reference's idiosyncratic spherical sampling
   with near-always direction flip (object.c:293-304).
 
-Randomness: deterministic ``jax.random`` keys (threaded per purpose) replace
-the reference's raced libc rand() — we match the estimand, not the noise
-stream.
+TPU shape discipline: everything runs on SoA ``V3`` component arrays with
+the ray axis last-minor; light-sample batches are (lc, P) — the sample
+axis LEADS so XLA's (8, 128) tiling stays dense (a trailing lc=8 axis
+would pad 16×).  Material properties are fetched by statically-unrolled
+selects over the (tiny) material table, never by gather.
+
+Randomness: deterministic ``jax.random`` keys (threaded per purpose)
+replace the reference's raced libc rand() — we match the estimand, not the
+noise stream.
 """
 
 from __future__ import annotations
@@ -28,43 +34,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from c_raytracer_tpu.core import cmath, vec
-from c_raytracer_tpu.geometry import primitives as G
+from c_raytracer_tpu.core import cmath
+from c_raytracer_tpu.core import v3 as v3m
+from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.render.config import (
-    ATTEN_LINEAR, ATTEN_NONE, ATTEN_SQUARE, GI_PATH, REFLECTION_BLINN,
-    REFLECTION_PHONG, RenderConfig)
+    ATTEN_LINEAR, ATTEN_NONE, REFLECTION_PHONG, RenderConfig)
 from c_raytracer_tpu.scene import types as T
-from c_raytracer_tpu.textures import texture_color
+from c_raytracer_tpu.textures import texture_color_soa
+
+PI = v3m.PI
 
 
-def attenuate_light(cfg: RenderConfig, intensity, dist):
+def mat3(table, mat) -> V3:
+    """(M, 3) material table → V3 per lane, by unrolled select (no gather;
+    the M is tiny and static)."""
+    rows = [v3m.splat(table[m]) for m in range(table.shape[0])]
+    return v3m.select_v3(mat, rows)
+
+
+def mat1(table, mat):
+    """(M,) material table → per-lane scalar, by unrolled select."""
+    vals = [table[m] for m in range(table.shape[0])]
+    return v3m.select_scalar(mat, vals,
+                             init=jnp.zeros(jnp.shape(mat), table.dtype))
+
+
+def attenuate_light(cfg: RenderConfig, intensity: V3, dist) -> V3:
     """Incoming-light attenuation (render.c:191-200)."""
     if cfg.light_attenuation == ATTEN_NONE:
         return intensity
     off = jnp.float32(cfg.attenuation_offset)
     if cfg.light_attenuation == ATTEN_LINEAR:
-        return intensity / (off + dist)[..., None]
-    return intensity / (off + dist * dist)[..., None]
+        return intensity * (1.0 / (off + dist))
+    return intensity * (1.0 / (off + dist * dist))
 
 
-def attenuate_segment(cfg: RenderConfig, color, t):
+def attenuate_segment(cfg: RenderConfig, color: V3, t) -> V3:
     """Per-segment attenuation of the accumulated hit color
     (render.c:292-301); note sqr divides by (offset+t)²."""
     if cfg.light_attenuation == ATTEN_NONE:
         return color
     off = jnp.float32(cfg.attenuation_offset)
     if cfg.light_attenuation == ATTEN_LINEAR:
-        return color / (off + t)[..., None]
+        return color * (1.0 / (off + t))
     s = off + t
-    return color / (s * s)[..., None]
+    return color * (1.0 / (s * s))
 
 
-def reflect_dir(d, n, b):
+def reflect_dir(d: V3, n: V3, b) -> V3:
     """Mirror direction: d − 2(n·d)n (render.c:313-314)."""
-    return d - n * (2.0 * b)[..., None]
+    return d - n * (2.0 * b)
 
 
-def refract_dir(d, n, b, is_outside, ior):
+def refract_dir(d: V3, n: V3, b, is_outside, ior):
     """Snell rotation in the plane of incidence (render.c:324-337).
 
     Returns (direction, valid).  The reference produces NaN directions on
@@ -88,94 +110,85 @@ def refract_dir(d, n, b, is_outside, ior):
     refracted = jnp.where(
         sin_interior,
         jnp.arcsin(jnp.where(sin_interior, sin_r, 0.5)),
-        jnp.where(sin_r > 0, vec.PI / 2, -vec.PI / 2))
+        jnp.where(sin_r > 0, PI / 2, -PI / 2))
     delta = refracted - incident
-    cr = vec.cross(d, n)
-    m = vec.safe_mag(cr)
+    cr = v3m.cross(d, n)
+    m = v3m.safe_mag(cr)
     degenerate = m == 0.0
-    c = cr / jnp.where(degenerate, 1.0, m)[..., None]
-    c = jnp.where(is_outside[..., None], c, -c)
-    f = vec.cross(c, d)
-    out = d * jnp.cos(delta)[..., None] + f * jnp.sin(delta)[..., None]
-    om = vec.safe_mag(out)
-    out = out / jnp.where(om == 0.0, 1.0, om)[..., None]
+    c = cr * (1.0 / jnp.where(degenerate, 1.0, m))
+    c = v3m.where(is_outside, c, -c)
+    f = v3m.cross(c, d)
+    out = d * jnp.cos(delta) + f * jnp.sin(delta)
+    om = v3m.safe_mag(out)
+    out = out * (1.0 / jnp.where(om == 0.0, 1.0, om))
     return out, ~(tir | degenerate)
 
 
-def gi_rotation(normal, eps):
-    """Normal-aligned rotation matrix (render.c:240-268): maps +Y to the
-    normal; the near-(0,−1,0) special case uses the 180° X-flip.
+def sample_hemisphere(key, normal: V3, eps):
+    """One hemisphere direction per lane (render.c:281-283) through the
+    normal-aligned rotation (render.c:240-268): maps +Y to the normal; the
+    near-(0,−1,0) special case uses the 180° X-flip.
 
-    normal: (..., 3); eps: (...,) per-hit object epsilon.
-    Returns (..., 3, 3).
+    normal: V3 (P,); eps: (P,) per-hit object epsilon.
+    Returns (dir V3, cos) where cos = n·dir.
     """
-    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    P = jnp.shape(normal.x)
+    u = jax.random.uniform(key, (2,) + P, jnp.float32)
+    inclination = jnp.arccos(u[0] * 2.0 - 1.0)
+    azimuth = u[1] * PI
+    lo = v3m.spherical_to_cartesian(jnp.float32(1.0), inclination, azimuth)
+
+    nx, ny, nz = normal.x, normal.y, normal.z
     down = (ny - eps) < -1.0
     mul = 1.0 / jnp.where(down, 1.0, 1.0 + ny)  # guarded divisor
-    r = jnp.stack([
-        jnp.stack([1.0 - nx * nx * mul, nx, -nx * nz * mul], -1),
-        jnp.stack([-nx, 1.0 - (nx * nx + nz * nz) * mul, -nz], -1),
-        jnp.stack([-nx * nz * mul, nz, 1.0 - nz * nz * mul], -1),
-    ], -2)
-    flip = jnp.asarray(np.array([
-        [1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], np.float32))
-    return jnp.where(down[..., None, None], flip, r)
+    # rotation rows (render.c:240-268)
+    rx = V3(1.0 - nx * nx * mul, nx, -nx * nz * mul)
+    ry = V3(-nx, 1.0 - (nx * nx + nz * nz) * mul, -nz)
+    rz = V3(-nx * nz * mul, nz, 1.0 - nz * nz * mul)
+    d = V3(v3m.dot(rx, lo), v3m.dot(ry, lo), v3m.dot(rz, lo))
+    d_flip = V3(lo.x, -lo.y, -lo.z)          # 180° X rotation
+    d = v3m.where(down, d_flip, d)
+    return d, v3m.dot(normal, d)
 
 
-def sample_hemisphere(key, normal, eps):
-    """One cosine-ish hemisphere direction per lane (render.c:281-283).
-
-    normal: (..., 3).  Returns (dir, cos) where cos = n·dir ≥ 0.
-    """
-    u = jax.random.uniform(key, normal.shape[:-1] + (2,), jnp.float32)
-    inclination = jnp.arccos(u[..., 0] * 2.0 - 1.0)
-    azimuth = u[..., 1] * vec.PI
-    local = vec.spherical_to_cartesian(
-        jnp.float32(1.0), inclination, azimuth)
-    rot = gi_rotation(normal, eps)
-    d = jnp.einsum("...ij,...j->...i", rot, local)
-    return d, vec.dot(normal, d)
-
-
-def _sphere_light_point(key, center, radius, hit_pt):
-    """Random sphere-surface point (object.c:293-304): the reference's
+def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
+    """Random sphere-surface points (object.c:293-304): the reference's
     direction flip triggers whenever dot(center−point, dir) ≠ 0 — i.e.
-    essentially always."""
-    u = jax.random.uniform(key, hit_pt.shape[:-1] + (2,), jnp.float32)
-    inclination = u[..., 0] * (2.0 * vec.PI)
-    azimuth = u[..., 1] * (2.0 * vec.PI)
-    ldir = vec.spherical_to_cartesian(radius, inclination, azimuth)
-    toward = center - hit_pt
-    flip = vec.dot(toward, ldir) != 0.0
-    ldir = jnp.where(flip[..., None], -ldir, ldir)
-    return center + ldir
+    essentially always.  Returns V3 (lc, *P)."""
+    P = jnp.shape(hit_pt.x)
+    u = jax.random.uniform(key, (2, lc) + P, jnp.float32)
+    inclination = u[0] * (2.0 * PI)
+    azimuth = u[1] * (2.0 * PI)
+    ldir = v3m.spherical_to_cartesian(radius, inclination, azimuth)
+    toward = center - hit_pt                       # (P,) broadcast to (lc, P)
+    flip = v3m.dot(toward.map(lambda a: a[None]), ldir) != 0.0
+    ldir = v3m.where(flip, -ldir, ldir)
+    return ldir + center
 
 
-def _triangle_light_point(key, v0, e1, e2, hit_pt):
-    """Uniform barycentric point (object.c:403-419)."""
-    u = jax.random.uniform(key, hit_pt.shape[:-1] + (2,), jnp.float32)
-    p, q = u[..., 0], u[..., 1]
+def _triangle_light_point(key, v0: V3, e1: V3, e2: V3, hit_pt: V3, lc):
+    """Uniform barycentric points (object.c:403-419).  Returns V3 (lc, *P)."""
+    P = jnp.shape(hit_pt.x)
+    u = jax.random.uniform(key, (2, lc) + P, jnp.float32)
+    p, q = u[0], u[1]
     over = p + q > 1.0
     p = jnp.where(over, 1.0 - p, p)
     q = jnp.where(over, 1.0 - q, q)
-    return v0 + e1 * p[..., None] + e2 * q[..., None]
+    return v0 + e1 * p + e2 * q
 
 
 def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
-                 key, hit_pt, normal, ray_d, gid, mat, is_outside, tex_col,
-                 active):
+                 key, hit_pt: V3, normal: V3, ray_d: V3, gid, mat,
+                 is_outside, tex_col: V3, active) -> V3:
     """Soft-shadow direct lighting over all emitters (render.c:170-229).
 
-    All inputs (P, ...) per-lane; returns (P, 3) summed contribution.
+    All per-lane inputs are (P,); returns V3 (P,) summed contribution.
     Per emitter: ke/num_lights intensity per sample, num_lights samples
-    scanned in chunks of cfg.light_chunk.
+    scanned in chunks of cfg.light_chunk, each chunk an (lc, P) SoA batch.
     """
     ds = ix.ds
-    P = hit_pt.shape[0]
-    total = jnp.zeros((P, 3), jnp.float32)
-    transparent_mask = jnp.asarray(
-        np.asarray(static.is_transparent, bool))
-    kt_by_mat = ds.materials.kt
+    P = jnp.shape(hit_pt.x)
+    total = v3m.zeros(P)
     phong = cfg.reflection_model == REFLECTION_PHONG
 
     for e_i, egid in enumerate(static.emitter_prims):
@@ -183,13 +196,16 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
         if num_lights == 0:
             continue  # zero-sample emitter: loop never runs (render.c:176)
         e_mat = static.material_index[egid]
-        intensity = ds.materials.ke[e_mat] / jnp.float32(num_lights)
+        intensity = v3m.splat(ds.materials.ke[e_mat]) * (
+            1.0 / jnp.float32(num_lights))
         ekey = jax.random.fold_in(key, e_i)
 
-        lc = min(cfg.light_chunk, num_lights)
+        # chunk size: sublane-aligned (multiple of 8) — a ragged sample
+        # axis pads every (lc, P) tile and measurably slows the sweep
+        lc = min(cfg.light_chunk, -(-num_lights // 8) * 8)
         nchunks = -(-num_lights // lc)
-        # lane mask for the padded tail of the last chunk
-        lane_idx = jnp.arange(lc)
+        # lane mask for the padded tail of the last chunk: (lc, 1)
+        lane_idx = jnp.arange(lc)[:, None] if len(P) else jnp.arange(lc)
 
         # static emitter type dispatch
         is_sphere_emitter = egid < static.n_spheres
@@ -197,25 +213,22 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
         def light_dirs(chunk_i, _egid=egid, _ekey=ekey,
                        _is_sph=is_sphere_emitter, _lc=lc):
             """Chunk's sampled light directions (deterministic per key, so
-            the shadow and shading passes can both regenerate them)."""
+            the shadow and shading passes can both regenerate them).
+            Returns (ldir V3 (lc, P), ldist (lc, P))."""
             ckey = jax.random.fold_in(_ekey, chunk_i)
-            keys = jax.random.split(ckey, _lc)
             if _is_sph:
-                lp = jax.vmap(
-                    lambda k: _sphere_light_point(
-                        k, ds.sph_center[_egid], ds.sph_radius[_egid],
-                        hit_pt),
-                    out_axes=1)(keys)
+                lp = _sphere_light_point(
+                    ckey, v3m.splat(ds.sph_center[_egid]),
+                    ds.sph_radius[_egid], hit_pt, _lc)
             else:
                 ti = _egid - static.n_spheres
-                lp = jax.vmap(
-                    lambda k: _triangle_light_point(
-                        k, ds.tri_v0[ti], ds.tri_e1[ti], ds.tri_e2[ti],
-                        hit_pt),
-                    out_axes=1)(keys)
-            lvec = lp - hit_pt[:, None, :]
-            ldist = vec.safe_mag(lvec)
-            ldir = lvec / jnp.where(ldist == 0.0, 1.0, ldist)[..., None]
+                lp = _triangle_light_point(
+                    ckey, v3m.splat(ds.tri_v0[ti]),
+                    v3m.splat(ds.tri_e1[ti]), v3m.splat(ds.tri_e2[ti]),
+                    hit_pt, _lc)
+            lvec = lp - hit_pt.map(lambda a: a[None])
+            ldist = v3m.safe_mag(lvec)
+            ldir = lvec * (1.0 / jnp.where(ldist == 0.0, 1.0, ldist))
             return ldir, ldist
 
         if ix.has_clusters:
@@ -223,92 +236,85 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             # per-pixel visit lists (accel/intersect.py shadow_query)
             elo, ehi = ix.emitter_bounds(egid)
             shadow_all = ix.shadow_query(
-                transparent_mask, kt_by_mat, hit_pt, elo, ehi,
-                lambda ci, _egid=egid, _f=light_dirs: (
-                    *_f(ci), jnp.full((hit_pt.shape[0], lc), _egid,
-                                      jnp.int32)),
-                nchunks, lc)
+                hit_pt, elo, ehi, light_dirs, egid, nchunks, lc)
         else:
             shadow_all = None
 
-        def chunk_body(carry, chunk_i, _egid=egid, _e_mat=e_mat,
+        ksv = mat3(ds.materials.ks, mat)            # (P,) V3
+        shin = mat1(ds.materials.shininess, mat)    # (P,)
+
+        def chunk_body(carry, chunk_i, _egid=egid,
                        _intensity=intensity, _lc=lc,
                        _num_lights=num_lights, _dirs=light_dirs,
                        _shadow=shadow_all):
             acc = carry
             ldir, ldist = _dirs(chunk_i)
-            a = vec.dot(ldir, normal[:, None, :])
+            nrm_b = normal.map(lambda a: a[None])
+            a = v3m.dot(ldir, nrm_b)
 
             if _shadow is None:
                 blocked, tint = ix.any_tint(
-                    transparent_mask, kt_by_mat,
-                    jnp.broadcast_to(hit_pt[:, None, :], ldir.shape), ldir,
-                    ldist, jnp.full(ldist.shape, _egid, jnp.int32))
+                    hit_pt.map(lambda x: x[None]), ldir, ldist, _egid)
             else:
-                blocked = _shadow[0][:, chunk_i]
-                tint = _shadow[1][:, chunk_i]
+                blocked = _shadow[0][chunk_i]
+                tint = V3(_shadow[1][chunk_i], _shadow[2][chunk_i],
+                          _shadow[3][chunk_i])
 
             incoming = _intensity * tint
             incoming = attenuate_light(cfg, incoming, ldist)
 
-            diffuse = (tex_col[:, None, :] * incoming
-                       * cmath.fmaxf_zero(a)[..., None])
+            diffuse = (tex_col.map(lambda x: x[None]) * incoming
+                       * cmath.fmaxf_zero(a))
 
+            rd_b = ray_d.map(lambda x: x[None])
             if phong:
-                reflected = normal[:, None, :] * (2.0 * a)[..., None] - ldir
-                spec_mul = -vec.dot(reflected, ray_d[:, None, :])
+                reflected = nrm_b * (2.0 * a) - ldir
+                spec_mul = -v3m.dot(reflected, rd_b)
             else:  # Blinn half-vector variant (render.c:215-220)
-                hv = ray_d[:, None, :] - ldir
-                hm = vec.safe_mag(hv)
-                reflected = hv / jnp.where(hm == 0.0, 1.0, hm)[..., None]
-                spec_mul = -vec.dot(normal[:, None, :], reflected)
-            shin = ds.materials.shininess[mat]
-            spec = (ds.materials.ks[mat][:, None, :] * incoming
-                    * cmath.fmaxf_zero(
-                        cmath.c_powf(spec_mul, shin[:, None]))[..., None])
+                hv = rd_b - ldir
+                hm = v3m.safe_mag(hv)
+                reflected = hv * (1.0 / jnp.where(hm == 0.0, 1.0, hm))
+                spec_mul = -v3m.dot(nrm_b, reflected)
+            spec = (ksv.map(lambda x: x[None]) * incoming
+                    * cmath.fmaxf_zero(cmath.c_powf(spec_mul, shin[None])))
 
-            ok = (active & is_outside & (gid != _egid))[:, None] & ~blocked
+            ok = (active & is_outside & (gid != _egid))[None] & ~blocked
             # mask padded tail lanes of the final chunk
             sample_idx = chunk_i * _lc + lane_idx
-            ok = ok & (sample_idx < _num_lights)[None, :]
-            contrib = jnp.where(ok[..., None], diffuse + spec, 0.0)
-            return acc + jnp.sum(contrib, axis=1), None
+            ok = ok & (sample_idx < _num_lights)
+            contrib = v3m.where(ok, diffuse + spec, 0.0)
+            return acc + contrib.map(lambda x: jnp.sum(x, axis=0)), None
 
         # remat each chunk in the backward pass: per-chunk residuals are
-        # (P, lc, ...)-shaped and explode HBM at production resolutions
+        # (lc, P)-shaped and explode HBM at production resolutions
         body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((P, 3), jnp.float32),
-            jnp.arange(nchunks))
+        acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(nchunks))
         total = total + acc
     return total
 
 
 def shade_basic(ix, static: T.SceneStatic, cfg: RenderConfig,
-                key, o, d, t, gid, normal, active):
+                key, o: V3, d: V3, t, gid, mat, normal: V3, active):
     """Emission + direct lighting for a batch of hits — the shade of a
     terminal (remaining_bounces==0) ray in path mode, and the base of the
-    full shade.  Returns (color (P,3), aux dict)."""
+    full shade.  Returns (color V3 (P,), aux dict)."""
     ds = ix.ds
     hit = gid >= 0
     active = active & hit
-    g = jnp.maximum(gid, 0)
-    mat = ds.mat_idx[g]
     # miss lanes carry t=FLT_MAX; clamp them so hit points stay finite
     # (their contribution is masked, but inf would poison reverse-mode)
     t = jnp.where(hit, t, 1.0)
-    hit_pt = o + d * t[..., None]
-    b = vec.dot(normal, d)
+    hit_pt = o + d * t
+    b = v3m.dot(normal, d)
     is_outside = cmath.signbit(b)
 
-    tex_col = texture_color(
-        ds.materials, static.tex_type, static.tex_func, mat, hit_pt)
+    tex_col = texture_color_soa(ds.materials, static, mat, hit_pt)
 
-    color = ds.materials.ke[mat]  # emittance (render.c:164)
+    color = mat3(ds.materials.ke, mat)  # emittance (render.c:164)
     color = color + direct_light(
         ix, static, cfg, key, hit_pt, normal, d, gid, mat, is_outside,
         tex_col, active)
-    color = jnp.where(active[..., None], color, 0.0)
+    color = v3m.where(active, color, 0.0)
     aux = dict(hit_pt=hit_pt, mat=mat, b=b, is_outside=is_outside,
                tex_col=tex_col, hit=hit)
     return color, aux

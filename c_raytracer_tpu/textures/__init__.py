@@ -1,1 +1,2 @@
-from c_raytracer_tpu.textures.textures import texture_color  # noqa: F401
+from c_raytracer_tpu.textures.textures import (  # noqa: F401
+    texture_color, texture_color_soa)

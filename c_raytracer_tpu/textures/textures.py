@@ -101,3 +101,63 @@ def texture_color(materials: T.Materials, tex_type, tex_func, mat_idx, point):
         out = jnp.where((tt == T.TEX_NOISY_PERIODIC)[..., None],
                         _noisy_periodic(point, c0, c1, scale, p1, p2, fn), out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SoA hot path: statically unrolled over the material table
+# ---------------------------------------------------------------------------
+
+from c_raytracer_tpu.core import v3 as v3m  # noqa: E402
+from c_raytracer_tpu.core.v3 import V3  # noqa: E402
+
+
+def texture_color_soa(materials: T.Materials, static, mat, point: V3) -> V3:
+    """Texture color per lane, SoA.
+
+    ``mat``: (P,) material index; ``point``: V3 (P,) world hit points.
+    Unrolled over the (tiny, static) material table: each material's
+    texture family is known at trace time, so there is no runtime type
+    dispatch and no parameter gathers — each family is evaluated with its
+    material's traced scalar parameters and blended by ``mat == m``.
+    """
+    M = len(static.tex_type)
+    out = v3m.zeros(jnp.shape(mat))
+    for m in range(M):
+        tt = static.tex_type[m]
+        c0 = v3m.splat(materials.tex_color[m])
+        if tt == T.TEX_UNIFORM:
+            col = c0
+        elif tt == T.TEX_CHECKERBOARD:
+            c1 = v3m.splat(materials.tex_color2[m])
+            sp = point * materials.tex_scale[m]
+            # C float->uint cast truncates toward zero (material.c:159-166);
+            # int32 matches the uint32 parity for all finite inputs
+            parity = (sp.x.astype(jnp.int32) + sp.y.astype(jnp.int32)
+                      + sp.z.astype(jnp.int32)) % 2
+            col = v3m.where(parity != 0, c1, c0)
+        elif tt == T.TEX_BRICK:
+            c1 = v3m.splat(materials.tex_color2[m])
+            sp = point * materials.tex_scale[m]
+            mortar = materials.tex_p1[m]
+            par = (sp.x.astype(jnp.int32) % 2).astype(jnp.float32)
+            y = sp.y - par * 0.5
+            is_mortar = ((sp.x - jnp.floor(sp.x) < mortar)
+                         | (y - jnp.floor(y) < mortar))
+            col = v3m.where(is_mortar, c1, c0)
+        else:  # TEX_NOISY_PERIODIC (material.c:179-200)
+            grad = v3m.splat(materials.tex_color2[m])
+            sp = point * materials.tex_scale[m]
+            n = simplex_noise(sp.x, sp.y, sp.z)
+            angle = (point.x + n * materials.tex_p1[m]) * materials.tex_p2[m]
+            fid = static.tex_func[m]
+            if fid == T.FUNC_SIN:
+                env = (1.0 + jnp.sin(angle)) * 0.5
+            elif fid == T.FUNC_SAW:
+                env = angle - jnp.floor(angle)
+            elif fid == T.FUNC_TRIANGLE:
+                env = jnp.abs(2.0 * (angle - jnp.floor(angle) - 0.5))
+            else:  # FUNC_SQUARE
+                env = (~jnp.signbit(jnp.sin(angle))).astype(jnp.float32)
+            col = grad * env + c0
+        out = v3m.where(mat == m, col, out)
+    return out

@@ -17,6 +17,7 @@ import pytest
 
 from c_raytracer_tpu.accel import (build, make_intersector, native,
                                    reorder_scene)
+from c_raytracer_tpu.core import v3 as v3m
 from c_raytracer_tpu.geometry import primitives as G
 from c_raytracer_tpu.render.config import RenderConfig
 from c_raytracer_tpu.scene import types as T
@@ -96,34 +97,37 @@ class TestClusterTraversal:
     def test_closest_matches_brute(self, scene):
         ds = G.device_scene(scene.params, scene.static)
         o, d = _rays(np.random.default_rng(1), 2048)
-        ib = make_intersector(ds, RenderConfig(accel="none"))
-        ic = make_intersector(ds, RenderConfig(
+        o, d = v3m.from_aos(o), v3m.from_aos(d)
+        ib = make_intersector(ds, scene.static, RenderConfig(accel="none"))
+        ic = make_intersector(ds, scene.static, RenderConfig(
             accel="cluster", bvh_cluster=64, bvh_visits=64,
             bvh_ray_chunk=900))  # chunked path exercised
-        tb, gb, nb = jax.jit(ib.closest)(o, d)
-        tc, gc, nc = jax.jit(ic.closest)(o, d)
+        tb, gb, mb, nb = jax.jit(ib.closest)(o, d)
+        tc, gc, mc, nc = jax.jit(ic.closest)(o, d)
         np.testing.assert_array_equal(np.asarray(gb), np.asarray(gc))
         hit = np.asarray(gb) >= 0
+        np.testing.assert_array_equal(np.asarray(mb)[hit],
+                                      np.asarray(mc)[hit])
         np.testing.assert_allclose(
             np.asarray(tb)[hit], np.asarray(tc)[hit], rtol=1e-6)
         np.testing.assert_allclose(
-            np.asarray(nb)[hit], np.asarray(nc)[hit], rtol=1e-5, atol=1e-6)
+            np.asarray(v3m.to_aos(nb))[hit], np.asarray(v3m.to_aos(nc))[hit],
+            rtol=1e-5, atol=1e-6)
 
     def test_any_tint_matches_brute(self, scene):
         ds = G.device_scene(scene.params, scene.static)
         o, d = _rays(np.random.default_rng(2), 2048)
-        tm = jnp.asarray(np.asarray(scene.static.is_transparent, bool))
+        o, d = v3m.from_aos(o), v3m.from_aos(d)
         md = jnp.full((2048,), 6.0)
         ex = jnp.full((2048,), -1, jnp.int32)
-        ib = make_intersector(ds, RenderConfig(accel="none"))
-        ic = make_intersector(ds, RenderConfig(
+        ib = make_intersector(ds, scene.static, RenderConfig(accel="none"))
+        ic = make_intersector(ds, scene.static, RenderConfig(
             accel="cluster", bvh_cluster=64, bvh_visits=64))
-        bb, tb = jax.jit(lambda *a: ib.any_tint(*a))(
-            tm, ds.materials.kt, o, d, md, ex)
-        bc, tc = jax.jit(lambda *a: ic.any_tint(*a))(
-            tm, ds.materials.kt, o, d, md, ex)
+        bb, tb = jax.jit(lambda *a: ib.any_tint(*a))(o, d, md, ex)
+        bc, tc = jax.jit(lambda *a: ic.any_tint(*a))(o, d, md, ex)
         np.testing.assert_array_equal(np.asarray(bb), np.asarray(bc))
-        np.testing.assert_allclose(np.asarray(tb), np.asarray(tc), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(v3m.to_aos(tb)),
+                                   np.asarray(v3m.to_aos(tc)), rtol=1e-6)
 
     def test_gradients_flow_through_clusters(self, scene):
         """d(sum of hit distances)/d(vertices) must match brute force."""
@@ -132,8 +136,8 @@ class TestClusterTraversal:
         def loss(tv, cfg):
             params = dataclasses.replace(scene.params, tri_vertices=tv)
             ds = G.device_scene(params, scene.static)
-            ix = make_intersector(ds, cfg)
-            t, gid, n = ix.closest(o, d)
+            ix = make_intersector(ds, scene.static, cfg)
+            t, gid, mat, n = ix.closest(v3m.from_aos(o), v3m.from_aos(d))
             return jnp.sum(jnp.where(gid >= 0, t, 0.0))
 
         gb = jax.grad(loss)(scene.params.tri_vertices,
@@ -165,8 +169,9 @@ class TestReorder:
         dsa = G.device_scene(scene.params, scene.static)
         dsb = G.device_scene(re.params, re.static)
         cfg = RenderConfig(accel="none")
-        ta, ga, _ = make_intersector(dsa, cfg).closest(o, d)
-        tb, gb, _ = make_intersector(dsb, cfg).closest(o, d)
+        ov, dv = v3m.from_aos(o), v3m.from_aos(d)
+        ta, ga, _, _ = make_intersector(dsa, scene.static, cfg).closest(ov, dv)
+        tb, gb, _, _ = make_intersector(dsb, re.static, cfg).closest(ov, dv)
         hit = np.asarray(ga) >= 0
         np.testing.assert_array_equal(hit, np.asarray(gb) >= 0)
         np.testing.assert_allclose(np.asarray(ta)[hit], np.asarray(tb)[hit],

@@ -146,6 +146,11 @@ class TestGradVsFiniteDifferences:
             cam = dataclasses.replace(tree.camera, **{field: new})
             return dataclasses.replace(tree, camera=cam)
 
-        # camera moves shift silhouettes -> larger FD noise; looser gate
+        # camera moves shift silhouettes -> larger FD noise; looser gate.
+        # min_mag: focal_length's true gradient is exactly 0 (the pinhole
+        # construction scales vx and plane_center both ∝ focal, so the
+        # normalized directions are invariant, image.c:42-55) — analytic
+        # and FD are both float noise there, and the FD noise for this
+        # eps/loss sits just above the default 1e-4 floor.
         check_component(loss, scene.params, g, getter, setter,
-                        eps=2e-3, rtol=0.3)
+                        eps=2e-3, rtol=0.3, min_mag=5e-4)
