@@ -76,8 +76,6 @@ class Intersector:
         blocked, tint = G.any_hit_tint_soa(
             self.ds, self.static, o, d, max_dist, exclude_gid,
             include_triangles=False)
-        transparent_mask = jnp.asarray(
-            np.asarray(self.static.is_transparent, bool))
         lead = jnp.shape(d.x)
         o2 = jnp.broadcast_to(v3m.to_aos(o), lead + (3,)).reshape(-1, 3)
         d2 = v3m.to_aos(d).reshape(-1, 3)
@@ -87,9 +85,8 @@ class Intersector:
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(
             lambda args: traverse.any_hit_tint_clusters(
-                self.clusters, transparent_mask, self.ds.materials.kt,
-                args[0], args[1], args[2], args[3], tuple(args[4]),
-                visits=self.cfg.bvh_visits),
+                self.clusters, args[0], args[1], args[2], args[3],
+                tuple(args[4]), visits=self.cfg.bvh_visits),
             flat, flat[0].shape[0])
         blocked, tint = out
         return (blocked.reshape(lead), v3m.from_aos(tint.reshape(lead + (3,))))
@@ -104,16 +101,16 @@ class Intersector:
 
         origin: V3 (P,) per-pixel hit points; emitter_lo/hi: (3,) emitter
         AABB; dirs_fn(chunk_i) -> (ldir V3 (lc, P), ldist (lc, P)).
-        Returns (blocked, tint_x, tint_y, tint_z), each (nchunks, lc, P) —
-        chunk-indexable by the caller's shading scan.
+        Returns (blocked (nchunks, lc, P), tint) where tint is
+        (tx, ty, tz) each (nchunks, lc, P) for scenes with transparent
+        materials and None otherwise (opaque occlusion is fully captured
+        by ``blocked`` — no material data enters the sweep).
 
         Requires clusters (callers fall back to per-chunk ``any_tint``
         otherwise).  Visit lists are computed once per pixel
         (traverse.shadow_visit_order) and each cluster block is gathered
         once per pixel while every sample chunk streams through it."""
-        P = jnp.shape(origin.x)[0]
-        transparent_mask = jnp.asarray(
-            np.asarray(self.static.is_transparent, bool))
+        has_transp = self.clusters.has_transp
 
         # sphere/plane brute pre-pass per chunk (cheap: few primitives),
         # SoA; also materializes every chunk's sample dirs once for reuse
@@ -140,19 +137,22 @@ class Intersector:
             exg = jnp.full(md.shape, egid, jnp.int32)
             return d, md, exg
 
-        acc = (jnp.moveaxis(blocked, 2, 1),                  # (nc, P, lc)
-               jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 1))
-        acc = (jnp.moveaxis(acc[0], 0, 1),                   # (P, nc, lc)
-               jnp.moveaxis(acc[1], 0, 1))                   # (P, nc, lc, 3)
+        blocked_pm = jnp.moveaxis(blocked, 2, 0)             # (P, nc, lc)
+        remat = getattr(self.cfg, "remat", True)
+        if not has_transp:
+            blocked2 = traverse.any_hit_tint_shared(
+                self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
+                blocked_pm, remat=remat)
+            return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
+        tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
+        # (nc, lc, P, 3) -> (P, nc, lc, 3)
         blocked2, tint2 = traverse.any_hit_tint_shared(
-            self.clusters, transparent_mask, self.ds.materials.kt,
-            origin_aos, cids, ok, cached_dirs, nchunks, acc,
-            remat=getattr(self.cfg, "remat", True))
-        # back to chunk-major SoA: (nchunks, lc, P)
+            self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
+            (blocked_pm, tint_pm), remat=remat)
         blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
         tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)
-        return (blocked_out, tint_out[..., 0], tint_out[..., 1],
-                tint_out[..., 2])
+        return blocked_out, (tint_out[..., 0], tint_out[..., 1],
+                             tint_out[..., 2])
 
     def emitter_bounds(self, egid: int):
         """(lo, hi) AABB of emitter primitive ``egid`` (host-static id)."""
@@ -195,6 +195,6 @@ def make_intersector(ds: G.DeviceScene, static, cfg) -> Intersector:
     mode = cfg.accel
     if mode == "auto":
         mode = "cluster" if nt >= AUTO_THRESHOLD else "none"
-    clusters = (traverse.pack_clusters(ds, cfg.bvh_cluster)
+    clusters = (traverse.pack_clusters(ds, static, cfg.bvh_cluster)
                 if (mode == "cluster" and nt) else None)
     return Intersector(ds=ds, static=static, cfg=cfg, clusters=clusters)

@@ -38,9 +38,12 @@ import numpy as np
 
 FLT_MAX = jnp.float32(np.finfo(np.float32).max)
 
-# packed field rows in ClusterSet.blk: v0, e1, e2, n (3 each), eps
-_F_V0, _F_E1, _F_E2, _F_N, _F_EPS = 0, 3, 6, 9, 12
-_NFIELDS = 13
+# packed field rows in ClusterSet.blk: v0, e1, e2, n (3 each), eps; scenes
+# with transparent materials append kt (3) and a 0/1 transparency flag so
+# shadow sweeps gather ONE block instead of block + two material gathers
+_F_V0, _F_E1, _F_E2, _F_N, _F_EPS, _F_KT, _F_TRANSP = 0, 3, 6, 9, 12, 13, 16
+_NF_OPAQUE = 13
+_NF_TRANSP = 17
 
 
 @jax.tree_util.register_dataclass
@@ -48,20 +51,25 @@ _NFIELDS = 13
 class ClusterSet:
     """Morton-ordered triangle clusters, packed for per-ray block gathers."""
 
-    blk: jax.Array      # (K, 13, C) float32 packed triangle fields
-    mat: jax.Array      # (K, C) int32 material index (padding: 0)
+    blk: jax.Array      # (K, 13|17, C) float32 packed triangle fields
     lo: jax.Array       # (K, 3) cluster AABB min, inflated by eps
     hi: jax.Array       # (K, 3) cluster AABB max, inflated by eps
     gid0: jax.Array     # () int32 global prim id of triangle 0 (= n_spheres)
 
+    @property
+    def has_transp(self) -> bool:
+        """Static: whether kt/transp rows are packed (shape-derived)."""
+        return self.blk.shape[1] == _NF_TRANSP
 
-def pack_clusters(ds, cluster_size: int) -> ClusterSet:
+
+def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
     """Pack the (already device-resident) triangle arrays into clusters of
     ``cluster_size`` and re-fit cluster AABBs from the current vertices.
 
     Padding lanes get eps=1 which makes Möller-Trumbore's parallel test
     (|a| < eps with a == 0) reject them unconditionally."""
     C = cluster_size
+    ns = static.n_spheres
     nt = ds.tri_v0.shape[0]
     K = max(1, -(-nt // C))
     pad = K * C - nt
@@ -76,12 +84,25 @@ def pack_clusters(ds, cluster_size: int) -> ClusterSet:
     n = p(ds.tri_n, 0.0)
     eps = p(ds.tri_eps, 1.0)
 
-    blk = jnp.concatenate(
-        [v0, e1, e2, n, eps[:, None]], axis=1)          # (K*C, 13)
-    blk = blk.reshape(K, C, _NFIELDS).transpose(0, 2, 1)  # (K, 13, C)
+    rows = [v0, e1, e2, n, eps[:, None]]
+    mat_np = np.zeros(K * C, np.int32)
+    mat_np[:nt] = np.asarray(static.material_index[ns:ns + nt], np.int32)
+    transp_np = np.asarray(static.is_transparent, bool)[mat_np]
+    transp_np[nt:] = False
+    nfields = _NF_OPAQUE
+    if transp_np.any():
+        # kt per triangle via a static one-hot matmul — differentiable
+        # w.r.t. the material table, no runtime gather
+        m = len(static.is_transparent)
+        onehot = np.zeros((K * C, m), np.float32)
+        onehot[np.arange(K * C), mat_np] = 1.0
+        kt = jnp.dot(jnp.asarray(onehot), ds.materials.kt,
+                     preferred_element_type=jnp.float32)  # (K*C, 3)
+        rows += [kt, jnp.asarray(transp_np, jnp.float32)[:, None]]
+        nfields = _NF_TRANSP
 
-    mat = p(ds.mat_idx[ds.sph_center.shape[0]:
-                       ds.sph_center.shape[0] + nt], 0).reshape(K, C)
+    blk = jnp.concatenate(rows, axis=1)                 # (K*C, F)
+    blk = blk.reshape(K, C, nfields).transpose(0, 2, 1)  # (K, F, C)
 
     # AABB refit: per-triangle min/max over its 3 vertices, masked padding,
     # reduced per cluster; inflated by the cluster's max epsilon (the
@@ -93,8 +114,8 @@ def pack_clusters(ds, cluster_size: int) -> ClusterSet:
     ceps = jnp.where(valid[:, 0], eps, 0.0).reshape(K, C).max(1)[:, None]
     lo = jax.lax.stop_gradient(vmin - ceps)
     hi = jax.lax.stop_gradient(vmax + ceps)
-    return ClusterSet(blk=blk, mat=mat, lo=lo, hi=hi,
-                      gid0=jnp.int32(ds.sph_center.shape[0]))
+    return ClusterSet(blk=blk, lo=lo, hi=hi,
+                      gid0=jnp.int32(ns))
 
 
 def _visit_order(cs: ClusterSet, o, d, visits: int):
@@ -183,18 +204,22 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
     return best
 
 
-def any_hit_tint_clusters(cs: ClusterSet, transparent_mask, kt_by_mat,
-                          o, d, max_dist, exclude_gid, acc, *, visits: int):
+def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
+                          acc, *, visits: int):
     """Fold cluster triangles into the shadow accumulators (blocked, tint).
 
     o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
-    (R,3)).  Transparent blockers multiply tint by kt, opaque ones block
-    (accel.c:360-387) — all blockers matter for the tint product, so there
-    is no early exit; visits clusters are still nearest-first so opaque
-    blocking is found even when the overlap count exceeds V."""
+    (R,3)).  Semantics merged into one product: an in-range blocker
+    multiplies the tint by kt if transparent and by 0 if opaque
+    (accel.c:360-387 — an opaque blocker kills the light, identical
+    estimand) — so scenes with NO transparent material statically reduce
+    to a single any() over candidates with no material lookups at all.
+    Visits are nearest-first so opaque blocking is found even when the
+    overlap count exceeds V."""
     C = cs.blk.shape[2]
     cids, ok, entry = _visit_order(cs, o, d, visits)
     V = cids.shape[1]
+    has_transp = cs.has_transp
 
     def body(acc, v):
         blocked, tint = acc
@@ -203,13 +228,16 @@ def any_hit_tint_clusters(cs: ClusterSet, transparent_mask, kt_by_mat,
         blk = cs.blk[cid]
         t, hit = _mt_block(blk, o, d)
         gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
-        mat = cs.mat[cid]                                  # (R, C)
         in_range = (hit & live[:, None] & (t < max_dist[:, None])
                     & (gid != exclude_gid[:, None]))
-        transp = transparent_mask[mat]
-        blocked = blocked | jnp.any(in_range & ~transp, axis=-1)
-        kts = jnp.where((in_range & transp)[..., None], kt_by_mat[mat], 1.0)
-        tint = tint * jnp.prod(kts, axis=-2)
+        if not has_transp:
+            blocked = blocked | jnp.any(in_range, axis=-1)
+        else:
+            transp = blk[:, _F_TRANSP]                     # (R, C) 0/1
+            fs = [jnp.where(in_range, transp * blk[:, _F_KT + c], 1.0)
+                  for c in range(3)]
+            tint = tint * jnp.stack(
+                [jnp.prod(f, axis=-1) for f in fs], axis=-1)
         return (blocked, tint), None
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
@@ -289,9 +317,8 @@ def _mt_block_multi(blk, o, d):
     return t, hit
 
 
-def any_hit_tint_shared(cs: ClusterSet, transparent_mask, kt_by_mat,
-                        origin, cids, ok, dirs_fn, nchunks, acc, *,
-                        remat: bool = True):
+def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,
+                        nchunks, acc, *, remat: bool = True):
     """Shared-origin soft-shadow sweep, visits-outer / sample-chunks-inner.
 
     The naive order (per light-sample chunk, per visit: gather + test)
@@ -303,33 +330,40 @@ def any_hit_tint_shared(cs: ClusterSet, transparent_mask, kt_by_mat,
     origin: (P, 3); cids/ok: from shadow_visit_order; dirs_fn(chunk_i) ->
     (d (P, lc, 3), max_dist (P, lc), exclude_gid (P, lc)) regenerates the
     chunk's sample directions (deterministic PRNG — cheaper than storing
-    all S of them); acc: (blocked (P, nchunks, lc), tint (P, nchunks,
-    lc, 3)) accumulators."""
+    all S of them).
+
+    acc / semantics: merged-product occlusion (see any_hit_tint_clusters).
+    Opaque scenes (no kt rows packed): acc = blocked (P, nchunks, lc) —
+    one any()-reduce per step, no material data touched.  Transparent
+    scenes: acc = (blocked, tint (P, nchunks, lc, 3)); opaque blockers
+    zero the tint instead of setting blocked."""
     C = cs.blk.shape[2]
     V = cids.shape[1]
+    has_transp = cs.has_transp
 
     def visit_body(acc, v):
         cid = cids[:, v]
         live = ok[:, v]
-        blk = cs.blk[cid]                                  # (P, 13, C)
+        blk = cs.blk[cid]                                  # (P, F, C)
         gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
-        mat = cs.mat[cid]                                  # (P, C)
-        transp = transparent_mask[mat]                     # (P, C)
-        kts = kt_by_mat[mat]                               # (P, C, 3)
 
         def chunk_body(acc, chunk_i):
-            blocked, tint = acc
             d, max_dist, exclude_gid = dirs_fn(chunk_i)
             t, hit = _mt_block_multi(blk, origin, d)       # (P, lc, C)
             in_range = (hit & live[:, None, None]
                         & (t < max_dist[..., None])
                         & (gid[:, None, :] != exclude_gid[..., None]))
-            blk_here = jnp.any(in_range & ~transp[:, None, :], axis=-1)
-            ktp = jnp.prod(
-                jnp.where((in_range & transp[:, None, :])[..., None],
-                          kts[:, None, :, :], 1.0), axis=-2)
-            blocked = blocked.at[:, chunk_i].set(
-                blocked[:, chunk_i] | blk_here)
+            if not has_transp:
+                blocked = acc
+                blk_here = jnp.any(in_range, axis=-1)
+                return blocked.at[:, chunk_i].set(
+                    blocked[:, chunk_i] | blk_here), None
+            blocked, tint = acc
+            transp = blk[:, _F_TRANSP]                     # (P, C) 0/1
+            fs = [jnp.where(in_range,
+                            (transp * blk[:, _F_KT + c])[:, None, :], 1.0)
+                  for c in range(3)]
+            ktp = jnp.stack([jnp.prod(f, axis=-1) for f in fs], axis=-1)
             tint = tint.at[:, chunk_i].multiply(ktp)
             return (blocked, tint), None
 

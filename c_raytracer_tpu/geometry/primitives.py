@@ -622,17 +622,22 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
         m = len(static.is_transparent)
         transp_np = np.asarray(static.is_transparent, bool)[mat_np]
         transp_np &= valid_np                               # (nchunks, C)
-        # per-chunk kt rows via a static one-hot matmul (tiny MXU op) —
-        # keeps kt differentiable without a runtime gather
-        onehot_np = np.zeros((nchunks, C, m), np.float32)
-        np.put_along_axis(onehot_np, mat_np[..., None], 1.0, axis=-1)
+        any_transp = bool(transp_np.any())
+        if any_transp:
+            # per-chunk kt rows via a static one-hot matmul (tiny MXU op)
+            # — keeps kt differentiable without a runtime gather
+            onehot_np = np.zeros((nchunks, C, m), np.float32)
+            np.put_along_axis(onehot_np, mat_np[..., None], 1.0, axis=-1)
         # rays may be multi-dim (e.g. (lc, P)); the chunk axis C leads
         cdim = (C,) + (1,) * len(P)
         iota_c = jnp.arange(C, dtype=jnp.int32).reshape(cdim)
 
         def body(acc, args):
             blocked, tint = acc
-            v0, e1, e2, eps, transp, onehot, base = args
+            if any_transp:
+                v0, e1, e2, eps, transp, onehot, base = args
+            else:
+                v0, e1, e2, eps, base = args
             ex = lambda a: a.reshape(cdim)                 # noqa: E731
             t, hit = _mt_test_soa(
                 o.map(lambda a: a[None]), d.map(lambda a: a[None]),
@@ -640,6 +645,10 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
             gid = base + iota_c + ns
             in_range = (hit & (t < max_dist[None])
                         & (exclude_gid[None] != gid))
+            if not any_transp:
+                # no transparent triangle anywhere: single any()-reduce,
+                # no material data touched
+                return (blocked | jnp.any(in_range, axis=0), tint), None
             blocked = blocked | jnp.any(in_range & ~ex(transp), axis=0)
             ktc = jnp.dot(onehot, ds.materials.kt,
                           preferred_element_type=jnp.float32)  # (C, 3)
@@ -650,9 +659,10 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
                 tint.z * jnp.prod(jnp.where(tr, ex(ktc[:, 2]), 1.0), axis=0))
             return (blocked, tint), None
 
-        xs = (comp["v0"], comp["e1"], comp["e2"], eps_c,
-              jnp.asarray(transp_np), jnp.asarray(onehot_np),
-              jnp.arange(nchunks, dtype=jnp.int32) * C)
+        xs = (comp["v0"], comp["e1"], comp["e2"], eps_c)
+        if any_transp:
+            xs += (jnp.asarray(transp_np), jnp.asarray(onehot_np))
+        xs += (jnp.arange(nchunks, dtype=jnp.int32) * C,)
         (blocked, tint), _ = jax.lax.scan(body, (blocked, tint), xs)
 
     return blocked, tint

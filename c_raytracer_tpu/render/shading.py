@@ -257,8 +257,10 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                     hit_pt.map(lambda x: x[None]), ldir, ldist, _egid)
             else:
                 blocked = _shadow[0][chunk_i]
-                tint = V3(_shadow[1][chunk_i], _shadow[2][chunk_i],
-                          _shadow[3][chunk_i])
+                tn = _shadow[1]
+                # opaque scenes carry no tint (merged into blocked)
+                tint = (V3(tn[0][chunk_i], tn[1][chunk_i], tn[2][chunk_i])
+                        if tn is not None else jnp.float32(1.0))
 
             incoming = _intensity * tint
             incoming = attenuate_light(cfg, incoming, ldist)
