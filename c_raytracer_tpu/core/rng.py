@@ -1,0 +1,86 @@
+"""Uniform random sampling for the renderer's Monte-Carlo estimators.
+
+The reference uses libc ``rand()`` seeded by wall time and raced across
+OpenMP threads (system.c:36-39, 93-96) — irreproducible by design; we match
+the *estimand*, not the stream (SURVEY.md §3.5).  That freedom lets the TPU
+path use the hardware PRNG: ``jax.random.uniform`` (threefry) costs ~10%
+of a scene1 frame in pure ALU work, while the TPU core has a native PRNG
+reachable only through Pallas (``pltpu.prng_random_bits``), which emits
+random words at near-register speed.
+
+``uniform(key, shape)`` is a drop-in for ``jax.random.uniform``:
+
+* on TPU it derives a per-call seed from the JAX key and fills the shape
+  from the hardware PRNG via a gridded Pallas kernel (deterministic for a
+  fixed key/shape — same seed, same stream);
+* everywhere else (CPU tests, interpret mode) it falls back to threefry.
+
+The two backends produce different streams; both sample U[0,1) and all
+consumers are tolerance-gated Monte-Carlo estimators.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+_COLS = 512           # lane-dim of generated blocks (multiple of 128)
+_BLOCK_ROWS = 256     # sublane-dim per grid step (256x512 u32 = 512 KiB)
+
+
+def _key_words(key):
+    """(2,) int32 words from either a typed key or a raw uint32 pair."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key
+    kd = kd.reshape(-1)[:2].astype(jnp.uint32)
+    return kd.view(jnp.int32) if hasattr(kd, "view") else kd
+
+
+def _bits_kernel(seed_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    # distinct stream per grid block: fold the block id into the seed
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(-1640531527),  # 2^32·φ
+                    seed_ref[1])
+    out_ref[:] = pltpu.bitcast(
+        pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _hw_bits(seed, padded_rows):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = padded_rows // _BLOCK_ROWS
+    return pl.pallas_call(
+        _bits_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((_BLOCK_ROWS, _COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_rows, _COLS), jnp.uint32),
+    )(seed)
+
+
+def hw_uniform(key, shape):
+    """U[0,1) of ``shape`` from the TPU hardware PRNG (top 24 bits)."""
+    n = math.prod(shape) if shape else 1
+    rows = -(-n // _COLS)
+    padded_rows = max(_BLOCK_ROWS, -(-rows // _BLOCK_ROWS) * _BLOCK_ROWS)
+    bits = _hw_bits(_key_words(key), padded_rows)
+    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    return u.reshape(-1)[:n].reshape(shape)
+
+
+def uniform(key, shape, dtype=jnp.float32):
+    """Drop-in for jax.random.uniform; hardware PRNG on TPU."""
+    if jax.default_backend() == "tpu":
+        return hw_uniform(key, shape).astype(dtype)
+    return jax.random.uniform(key, shape, dtype)

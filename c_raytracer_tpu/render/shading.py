@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from c_raytracer_tpu.core import cmath
+from c_raytracer_tpu.core import cmath, rng
 from c_raytracer_tpu.core import v3 as v3m
 from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.render.config import (
@@ -133,7 +133,7 @@ def sample_hemisphere(key, normal: V3, eps):
     Returns (dir V3, cos) where cos = n·dir.
     """
     P = jnp.shape(normal.x)
-    u = jax.random.uniform(key, (2,) + P, jnp.float32)
+    u = rng.uniform(key, (2,) + P, jnp.float32)
     inclination = jnp.arccos(u[0] * 2.0 - 1.0)
     azimuth = u[1] * PI
     lo = v3m.spherical_to_cartesian(jnp.float32(1.0), inclination, azimuth)
@@ -156,7 +156,7 @@ def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
     direction flip triggers whenever dot(center−point, dir) ≠ 0 — i.e.
     essentially always.  Returns V3 (lc, *P)."""
     P = jnp.shape(hit_pt.x)
-    u = jax.random.uniform(key, (2, lc) + P, jnp.float32)
+    u = rng.uniform(key, (2, lc) + P, jnp.float32)
     inclination = u[0] * (2.0 * PI)
     azimuth = u[1] * (2.0 * PI)
     ldir = v3m.spherical_to_cartesian(radius, inclination, azimuth)
@@ -169,7 +169,7 @@ def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
 def _triangle_light_point(key, v0: V3, e1: V3, e2: V3, hit_pt: V3, lc):
     """Uniform barycentric points (object.c:403-419).  Returns V3 (lc, *P)."""
     P = jnp.shape(hit_pt.x)
-    u = jax.random.uniform(key, (2, lc) + P, jnp.float32)
+    u = rng.uniform(key, (2, lc) + P, jnp.float32)
     p, q = u[0], u[1]
     over = p + q > 1.0
     p = jnp.where(over, 1.0 - p, p)
