@@ -76,6 +76,18 @@ class TestScene1:
                                pct_1lsb=0.99, mean_tol=0.2)
 
 
+class TestPathGI:
+    """Path-traced global illumination (-g path -n 4): one indirect bounce,
+    spp hemisphere samples at the primary hit (render.c:232-289)."""
+
+    def test_scene1_path_n4(self, reference_root):
+        q, _ = render_q(os.path.join(reference_root, "scenes/scene1.json"),
+                        RenderConfig(gi_model="path", samples_per_pixel=4),
+                        key=5)
+        assert_close_to_golden(q, golden("scene1_128_path_n4.tif"),
+                               pct_1lsb=0.99, mean_tol=0.1)
+
+
 class TestScene2:
     """Procedural noisy-periodic textures (SimplexNoise), soft shadows."""
 
@@ -94,6 +106,26 @@ class TestScene3:
                         RenderConfig())
         assert_close_to_golden(q, golden("scene3_128_default.tif"),
                                pct_1lsb=0.97, mean_tol=0.5)
+
+
+class TestSceneTest:
+    """The reference's development scenes: scenetest has a 894-triangle
+    teapot mesh (the cluster-traversal path end to end), scenetest2 is the
+    Cornell-box-like sphere room with 200-sample soft shadows."""
+
+    def test_scenetest(self, reference_root):
+        q, _ = render_q(os.path.join(reference_root,
+                                     "scenes/scenetest.json"),
+                        RenderConfig())
+        assert_close_to_golden(q, golden("scenetest_128_default.tif"),
+                               pct_1lsb=0.99, mean_tol=0.1)
+
+    def test_scenetest2(self, reference_root):
+        q, _ = render_q(os.path.join(reference_root,
+                                     "scenes/scenetest2.json"),
+                        RenderConfig())
+        assert_close_to_golden(q, golden("scenetest2_128_default.tif"),
+                               pct_1lsb=0.99, mean_tol=0.1)
 
 
 class TestDeterminism:
