@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from c_raytracer_tpu.accel import traverse
+from c_raytracer_tpu.core import remat as remat_mod
 from c_raytracer_tpu.core import v3 as v3m
 from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.geometry import primitives as G
@@ -143,12 +144,15 @@ class Intersector:
             blocked2 = traverse.any_hit_tint_shared(
                 self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
                 blocked_pm, remat=remat)
+            # saved residual: backward skips the whole sweep (core/remat.py)
+            blocked2 = remat_mod.name_occlusion(blocked2)
             return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
         tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
         # (nc, lc, P, 3) -> (P, nc, lc, 3)
         blocked2, tint2 = traverse.any_hit_tint_shared(
             self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
             (blocked_pm, tint_pm), remat=remat)
+        blocked2 = remat_mod.name_occlusion(blocked2)
         blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
         tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)
         return blocked_out, (tint_out[..., 0], tint_out[..., 1],

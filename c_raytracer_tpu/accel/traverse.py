@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from c_raytracer_tpu.core import remat as remat_mod
+
 FLT_MAX = jnp.float32(np.finfo(np.float32).max)
 
 # packed field rows in ClusterSet.blk: v0, e1, e2, n (3 each), eps; scenes
@@ -372,6 +374,6 @@ def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,
 
     # remat per visit: the (P, lc, C) Möller-Trumbore intermediates of
     # every (visit, chunk) step must not be saved for the backward pass
-    body = jax.checkpoint(visit_body) if remat else visit_body
+    body = remat_mod.checkpoint(visit_body) if remat else visit_body
     acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
     return acc

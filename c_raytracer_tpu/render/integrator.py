@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from c_raytracer_tpu.accel.intersect import make_intersector
+from c_raytracer_tpu.core import remat as remat_mod
 from c_raytracer_tpu.core import v3 as v3m
 from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.geometry import primitives as G
@@ -109,7 +110,7 @@ def _gi_path(ix, ds, static, cfg, key, aux, normal: V3, remaining, active):
         child_color = v3m.where(lane_ok & (cgid >= 0), child_color, 0.0)
         return acc + child_color, None
 
-    body = jax.checkpoint(sample_body) if cfg.remat else sample_body
+    body = remat_mod.checkpoint(sample_body) if cfg.remat else sample_body
     acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(n_max))
     return acc
 
@@ -243,7 +244,7 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
         return (r["hit_pt"], r["refl_d"], r["refl_kr"], live2, color, z,
                 stats)
 
-    body = jax.checkpoint(round_body) if cfg.remat else round_body
+    body = remat_mod.checkpoint(round_body) if cfg.remat else round_body
     (_, _, _, _, color, z, stats), _ = jax.lax.scan(
         body, (o, d, kr0, live0, color0, z0, stats0), jnp.arange(rounds))
     return _finish(color, z, stats, with_stats)
@@ -395,7 +396,7 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
         ])
         return (st, color, z, stats)
 
-    body = jax.checkpoint(round_body) if cfg.remat else round_body
+    body = remat_mod.checkpoint(round_body) if cfg.remat else round_body
     (stf, color, z, stats), _ = jax.lax.scan(
         body, (st0, color0, z0, stats0), jnp.arange(rounds))
     return _finish(color, z, stats, with_stats)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from c_raytracer_tpu.core import cmath, rng
+from c_raytracer_tpu.core import cmath, remat, rng
 from c_raytracer_tpu.core import v3 as v3m
 from c_raytracer_tpu.core.v3 import V3
 from c_raytracer_tpu.render.config import (
@@ -255,6 +255,9 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             if _shadow is None:
                 blocked, tint = ix.any_tint(
                     hit_pt.map(lambda x: x[None]), ldir, ldist, _egid)
+                # save the mask across remat boundaries: backward then
+                # skips the occlusion re-trace entirely (core/remat.py)
+                blocked = remat.name_occlusion(blocked)
             else:
                 blocked = _shadow[0][chunk_i]
                 tn = _shadow[1]
@@ -287,9 +290,10 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             contrib = v3m.where(ok, diffuse + spec, 0.0)
             return acc + contrib.map(lambda x: jnp.sum(x, axis=0)), None
 
-        # remat each chunk in the backward pass: per-chunk residuals are
-        # (lc, P)-shaped and explode HBM at production resolutions
-        body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
+        # remat each chunk in the backward pass (saving only the named
+        # occlusion masks): per-chunk MT/shade residuals are (lc, P)-shaped
+        # and explode HBM at production resolutions
+        body = remat.checkpoint(chunk_body) if cfg.remat else chunk_body
         acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(nchunks))
         total = total + acc
     return total
