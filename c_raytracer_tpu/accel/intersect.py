@@ -87,7 +87,7 @@ class Intersector:
         out = self._chunked(
             lambda args: traverse.any_hit_tint_clusters(
                 self.clusters, args[0], args[1], args[2], args[3],
-                tuple(args[4]), visits=self.cfg.bvh_visits),
+                tuple(args[4]), visits=self.cfg.resolved_shadow_visits),
             flat, flat[0].shape[0])
         blocked, tint = out
         return (blocked.reshape(lead), v3m.from_aos(tint.reshape(lead + (3,))))
@@ -129,7 +129,7 @@ class Intersector:
         origin_aos = v3m.to_aos(origin)
         cids, ok = traverse.shadow_visit_order(
             self.clusters, origin_aos, emitter_lo, emitter_hi,
-            self.cfg.bvh_visits)
+            self.cfg.resolved_shadow_visits)
 
         def cached_dirs(chunk_i):
             # traverse expects (P, lc, ...) AoS

@@ -51,7 +51,18 @@ class RenderConfig:
     accel: str = "auto"
     bvh_cluster: int = 16           # triangles per Morton cluster
     bvh_visits: int = 16            # nearest clusters swept per ray
+    bvh_shadow_visits: int | None = None  # shadow-sweep visits; None ->
+                                    # bvh_visits.  The shared-origin capsule
+                                    # test (traverse.shadow_visit_order) is
+                                    # much tighter than the closest-hit slab
+                                    # ordering, so shadow sweeps usually
+                                    # need fewer visits
     bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
+
+    @property
+    def resolved_shadow_visits(self) -> int:
+        return (self.bvh_visits if self.bvh_shadow_visits is None
+                else self.bvh_shadow_visits)
 
     @property
     def min_light_intensity_sqr(self) -> float:
