@@ -13,6 +13,7 @@ The reference leans on several libm behaviors that differ from naive
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,6 +45,50 @@ def c_powf(base, exponent):
 def fmaxf_zero(x):
     """C ``fmaxf(0.f, x)``: returns 0 for NaN (render.c:205,224)."""
     return jnp.where(x > 0, x, jnp.zeros_like(x))
+
+
+@jax.custom_vjp
+def _fmax0_powf_core(base, exponent):
+    return fmaxf_zero(c_powf(base, exponent))
+
+
+def _fmax0_powf_fwd(base, exponent):
+    p = _fmax0_powf_core(base, exponent)
+    return p, (base, exponent, p)
+
+
+def _fmax0_powf_bwd(res, g):
+    # On active lanes (p > 0) the primal is p = ±|x|^s with p positive, so
+    # d/dx = s·x^(s-1) = s·p/x and d/ds = p·log|x| — one divide and one log
+    # instead of re-deriving the power and its select cascade.  Inactive
+    # lanes (clamped to 0, NaN, or x == 0) carry zero gradient, matching
+    # the where-branch gradients of the naive composition a.e.
+    x, s, p = res
+    active = p > 0
+    safe_x = jnp.where(x == 0, 1.0, x)
+    dx = jnp.where(active, s * p / safe_x, 0.0) * g
+    ds = jnp.where(active, p * jnp.log(jnp.abs(safe_x)), 0.0) * g
+    return dx, ds
+
+
+_fmax0_powf_core.defvjp(_fmax0_powf_fwd, _fmax0_powf_bwd)
+
+
+def fmax0_powf(base, exponent):
+    """``fmaxf(0.f, powf(base, exponent))`` — the specular clamp-power of
+    render.c:205,224 — with a closed-form VJP.
+
+    The naive composition's reverse pass recomputes ``x**(s-1)`` (an extra
+    exp+log per lane) and differentiates c_powf's integral/sign select
+    cascade; this fuses the pair and backpropagates via ``s·p/x`` and
+    ``p·log|x|`` using only the saved primal output.  Inputs are broadcast
+    first so the VJP shapes are trivial (broadcast_to's transpose does the
+    cotangent sum-reduction)."""
+    base = jnp.asarray(base, jnp.float32)
+    exponent = jnp.asarray(exponent, jnp.float32)
+    shape = jnp.broadcast_shapes(jnp.shape(base), jnp.shape(exponent))
+    return _fmax0_powf_core(jnp.broadcast_to(base, shape),
+                            jnp.broadcast_to(exponent, shape))
 
 
 def signbit(x):

@@ -281,7 +281,7 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                 reflected = hv * (1.0 / jnp.where(hm == 0.0, 1.0, hm))
                 spec_mul = -v3m.dot(nrm_b, reflected)
             spec = (ksv.map(lambda x: x[None]) * incoming
-                    * cmath.fmaxf_zero(cmath.c_powf(spec_mul, shin[None])))
+                    * cmath.fmax0_powf(spec_mul, shin[None]))
 
             ok = (active & is_outside & (gid != _egid))[None] & ~blocked
             # mask padded tail lanes of the final chunk
