@@ -5,7 +5,7 @@
   -b (float)                    brighten factor
   --dof (scale) (bias)          depth of field
   --dof-camera (aperture) (focal_length) (plane_in_focus)
-  --mist (start) (depth) (quad|lin|inv_quad) (r) (g) (b)
+  --mist (start) (depth) (quad|lin|inv-quad) (r) (g) (b)
 
 Effects are applied in the reference's order: brighten → dof → mist.
 Input must be the raw float32 TIFF with z-buffer tag written by engine -f.
@@ -74,8 +74,10 @@ def main(argv=None) -> int:
 
     v = _flag(argv, "--mist", 6)
     if v:
+        # reference tokens (pp/main.c:41, postproc.c:78-88 hash 624812280
+        # == djb2("inv-quad")); "inv_quad" kept as a courtesy alias
         falloff = {"quad": "quad", "lin": "lin",
-                   "inv_quad": "inv_quad"}.get(v[2])
+                   "inv-quad": "inv_quad", "inv_quad": "inv_quad"}.get(v[2])
         if falloff is None:
             print(f"Unrecognized falloff type [{v[2]}].")
             return 1

@@ -58,16 +58,18 @@ def _fmax0_powf_fwd(base, exponent):
 
 
 def _fmax0_powf_bwd(res, g):
-    # On active lanes (p > 0) the primal is p = ±|x|^s with p positive, so
-    # d/dx = s·x^(s-1) = s·p/x and d/ds = p·log|x| — one divide and one log
-    # instead of re-deriving the power and its select cascade.  Inactive
-    # lanes (clamped to 0, NaN, or x == 0) carry zero gradient, matching
-    # the where-branch gradients of the naive composition a.e.
+    # On active lanes (p > 0, x != 0) the primal is p = ±|x|^s with p
+    # positive, so d/dx = s·x^(s-1) = s·p/x and d/ds = p·log|x| — one divide
+    # and one log instead of re-deriving the power and its select cascade.
+    # Inactive lanes (clamped to 0, NaN, or x == 0 — including 0^neg where
+    # p = inf) carry zero gradient, matching the where-branch gradients of
+    # the naive composition a.e.  The cotangent sits *inside* the select so
+    # a NaN g on an inactive lane cannot leak through (0*NaN = NaN).
     x, s, p = res
-    active = p > 0
+    active = (p > 0) & (x != 0)
     safe_x = jnp.where(x == 0, 1.0, x)
-    dx = jnp.where(active, s * p / safe_x, 0.0) * g
-    ds = jnp.where(active, p * jnp.log(jnp.abs(safe_x)), 0.0) * g
+    dx = jnp.where(active, s * p / safe_x * g, 0.0)
+    ds = jnp.where(active, p * jnp.log(jnp.abs(safe_x)) * g, 0.0)
     return dx, ds
 
 

@@ -31,9 +31,10 @@ def _err(cond, msg):
 
 def _get(parent: dict, token: str, typ, scene: str):
     val = parent.get(token)
+    # JSON true/false must not satisfy a Number/other-typed token (bool is
+    # an int subclass in Python; cJSON keeps the types distinct)
     ok = isinstance(val, typ) and not (typ is not bool and isinstance(val, bool))
-    _err(isinstance(val, typ),
-         f"Expected token [{token}] of type [{typ}] in scene [{scene}].")
+    _err(ok, f"Expected token [{token}] of type [{typ}] in scene [{scene}].")
     return val
 
 

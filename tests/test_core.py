@@ -54,6 +54,54 @@ class TestCMath:
         assert float(cmath.fmaxf_zero(jnp.float32(-3.0))) == 0.0
         assert float(cmath.fmaxf_zero(jnp.float32(5.0))) == 5.0
 
+    def test_fmax0_powf_grad_parity(self):
+        """The custom VJP must match jax.grad of the naive composition
+        fmaxf_zero(c_powf(x, s)) on every lane class the renderer can hit:
+        positive, negative-integral, negative-non-integral (NaN->0),
+        zero-base (0^0, 0^pos, 0^neg), zero-exponent."""
+        import jax
+        x = jnp.array([2.0, 0.5, -2.0, -2.0, -2.0, 0.0, 0.0, 0.0, 3.0, 1.0],
+                      jnp.float32)
+        s = jnp.array([3.0, 2.0, 2.0, 3.0, 2.5, 0.0, 2.0, -1.0, 0.0, 5.0],
+                      jnp.float32)
+
+        def naive(x, s):
+            return jnp.sum(jnp.where(
+                jnp.isnan(cmath.c_powf(x, s)), 0.0,
+                cmath.fmaxf_zero(cmath.c_powf(x, s))))
+
+        def fused(x, s):
+            return jnp.sum(cmath.fmax0_powf(x, s))
+
+        gx_n, gs_n = jax.grad(naive, (0, 1))(x, s)
+        gx_f, gs_f = jax.grad(fused, (0, 1))(x, s)
+        assert np.isfinite(np.asarray(gx_f)).all()
+        assert np.isfinite(np.asarray(gs_f)).all()
+        np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_f),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gs_n), np.asarray(gs_f),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fmax0_powf_zero_base_negative_exponent_no_nan(self):
+        """base==0, s<0 gives p=inf; the backward mask must exclude it
+        (ADVICE r1): gradients are zero, not inf/NaN."""
+        import jax
+        gx, gs = jax.grad(
+            lambda x, s: jnp.sum(cmath.fmax0_powf(x, s)), (0, 1))(
+                jnp.float32(0.0), jnp.float32(-2.0))
+        assert float(gx) == 0.0 and float(gs) == 0.0
+
+    def test_fmax0_powf_blocks_nan_cotangent_on_inactive_lanes(self):
+        """A NaN incoming cotangent on a clamped lane must not leak
+        (cotangent inside the select, not 0*NaN)."""
+        import jax
+        x = jnp.array([-1.5, 2.0], jnp.float32)   # lane 0: NaN->0 (inactive)
+        s = jnp.array([2.5, 2.0], jnp.float32)
+        _, vjp = jax.vjp(cmath.fmax0_powf, x, s)
+        gx, gs = vjp(jnp.array([np.nan, 1.0], jnp.float32))
+        assert float(gx[0]) == 0.0 and float(gs[0]) == 0.0
+        assert np.isfinite(float(gx[1])) and np.isfinite(float(gs[1]))
+
 
 @pytest.fixture(scope="module")
 def ref_noise(reference_root):

@@ -98,3 +98,31 @@ class TestDoF:
         # scale=0, bias=0 -> radius 0 everywhere -> alpha 1, identity
         out = depth_of_field(jnp.asarray(img), jnp.asarray(z), 0.0, 0.0)
         np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+
+class TestCLI:
+    def test_mist_inv_quad_token(self, tmp_path, rng):
+        """The reference accepts the token 'inv-quad' (pp/main.c:41,
+        postproc.c:84 hash 624812280); a reference-valid command line must
+        work here too."""
+        from c_raytracer_tpu.cli.postprocess import main
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        z = rng.random(8 * 8).astype(np.float32) * 5.0
+        inp, outp = str(tmp_path / "in.tif"), str(tmp_path / "out.tif")
+        write_tiff_raw(inp, img, z)
+        rc = main([inp, outp, "--mist", "1", "10", "inv-quad",
+                   "0.5", "0.6", "0.7"])
+        assert rc == 0
+        got, _ = read_tiff(outp)
+        want = q8(mist(jnp.asarray(img), jnp.asarray(z.reshape(8, 8)),
+                       1.0, 10.0, "inv_quad", [0.5, 0.6, 0.7]))
+        np.testing.assert_array_equal((got * 255.0).astype(np.int32), want)
+
+    def test_mist_bad_token_rejected(self, tmp_path, rng):
+        from c_raytracer_tpu.cli.postprocess import main
+        img = rng.random((4, 4, 3)).astype(np.float32)
+        z = np.ones(16, np.float32)
+        inp = str(tmp_path / "in.tif")
+        write_tiff_raw(inp, img, z)
+        assert main([inp, str(tmp_path / "o.tif"),
+                     "--mist", "1", "10", "cubic", "0", "0", "0"]) == 1

@@ -79,6 +79,23 @@ class TestLoadReferenceScenes:
         with pytest.raises(SceneError, match="emittant"):
             load_scene(str(p))
 
+    def test_bool_rejected_for_typed_tokens(self, tmp_path, reference_root):
+        """JSON true/false must not satisfy a Number token (cJSON keeps the
+        types distinct; Python bool is an int subclass)."""
+        import json
+        doc = json.load(open(scene_path(reference_root, "scene1.json")))
+        doc["Camera"]["fov"] = True
+        p = tmp_path / "boolfov.json"
+        p.write_text(json.dumps(doc))
+        with pytest.raises(SceneError, match=r"\[fov\]"):
+            load_scene(str(p))
+
+    def test_shipped_example_scene(self):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sc = load_scene(os.path.join(repo, "scenes", "example.json"))
+        assert sc.static.emitter_prims and sc.static.n_spheres == 4
+        assert any(sc.static.is_transparent)
+
     def test_scale_norm(self, reference_root):
         sc = load_scene(scene_path(reference_root, "scene1.json"))
         f = norm_scale_factor(sc)
