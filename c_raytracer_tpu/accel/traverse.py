@@ -93,13 +93,12 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
     transp_np[nt:] = False
     nfields = _NF_OPAQUE
     if transp_np.any():
-        # kt per triangle via a static one-hot matmul — differentiable
-        # w.r.t. the material table, no runtime gather
-        m = len(static.is_transparent)
-        onehot = np.zeros((K * C, m), np.float32)
-        onehot[np.arange(K * C), mat_np] = 1.0
-        kt = jnp.dot(jnp.asarray(onehot), ds.materials.kt,
-                     preferred_element_type=jnp.float32)  # (K*C, 3)
+        # kt per triangle: differentiable gather with *static* indices,
+        # once per pack (P-independent, so cost is negligible).  NOT a
+        # one-hot matmul: the TPU MXU truncates f32 operands to bfloat16
+        # at default precision, which quantized kt (0.6 -> 0.6015625) and
+        # broke exact brute-force parity of the tint product on hardware.
+        kt = ds.materials.kt[jnp.asarray(mat_np)]          # (K*C, 3)
         rows += [kt, jnp.asarray(transp_np, jnp.float32)[:, None]]
         nfields = _NF_TRANSP
 

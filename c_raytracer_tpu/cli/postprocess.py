@@ -34,11 +34,23 @@ def main(argv=None) -> int:
     from c_raytracer_tpu.core.logging import init as log_init, printf_log
     log_init()
 
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from c_raytracer_tpu.image import read_tiff, write_tiff_rgb8
     from c_raytracer_tpu.postprocess import (
         brighten, depth_of_field, dof_camera_params, mist)
+
+    def jitted_dof(image, zb, scale, bias):
+        # static disc bound from the host-side z copy, then one compiled
+        # call (eager scans dispatch per-step — pathological over a
+        # device tunnel)
+        coc = np.abs(np.asarray(zb) * scale + bias)
+        r = int(coc.max() * 0.5)
+        f = jax.jit(functools.partial(depth_of_field, max_radius=r))
+        return f(image, zb, scale, bias)
 
     inp, outp = argv[0], argv[1]
     img, z = read_tiff(inp)
@@ -61,7 +73,7 @@ def main(argv=None) -> int:
         scale, bias = float(v[0]), float(v[1])
         printf_log("Applying depth of field with scale [%f] and bias [%f].",
                    scale, bias)
-        image = depth_of_field(image, zb, scale, bias)
+        image = jitted_dof(image, zb, scale, bias)
     else:
         v = _flag(argv, "--dof-camera", 3)
         if v:
@@ -70,7 +82,7 @@ def main(argv=None) -> int:
             printf_log(
                 "Applying depth of field with scale [%f] and bias [%f].",
                 scale, bias)
-            image = depth_of_field(image, zb, scale, bias)
+            image = jitted_dof(image, zb, scale, bias)
 
     v = _flag(argv, "--mist", 6)
     if v:

@@ -79,8 +79,18 @@ def hw_uniform(key, shape):
     return u.reshape(-1)[:n].reshape(shape)
 
 
+def _target_platform() -> str:
+    """Platform the traced computation will compile for: honors an active
+    ``jax.default_device`` override (e.g. the CPU-backend consistency test
+    running inside a TPU session), else the default backend."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform
+    return jax.default_backend()
+
+
 def uniform(key, shape, dtype=jnp.float32):
     """Drop-in for jax.random.uniform; hardware PRNG on TPU."""
-    if jax.default_backend() == "tpu":
+    if _target_platform() == "tpu":
         return hw_uniform(key, shape).astype(dtype)
     return jax.random.uniform(key, shape, dtype)

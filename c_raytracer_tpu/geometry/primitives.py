@@ -619,15 +619,15 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
     if nt and include_triangles:
         comp, eps_c, mat_np, valid_np, nchunks, C = _tri_chunks_soa(
             ds, static, tri_chunk)
-        m = len(static.is_transparent)
         transp_np = np.asarray(static.is_transparent, bool)[mat_np]
         transp_np &= valid_np                               # (nchunks, C)
         any_transp = bool(transp_np.any())
         if any_transp:
-            # per-chunk kt rows via a static one-hot matmul (tiny MXU op)
-            # — keeps kt differentiable without a runtime gather
-            onehot_np = np.zeros((nchunks, C, m), np.float32)
-            np.put_along_axis(onehot_np, mat_np[..., None], 1.0, axis=-1)
+            # per-chunk kt rows: differentiable gather with static indices,
+            # hoisted out of the scan.  NOT a one-hot matmul — the TPU MXU
+            # truncates f32 operands to bfloat16 at default precision,
+            # quantizing kt (see accel/traverse.pack_clusters)
+            kt_chunks = ds.materials.kt[jnp.asarray(mat_np)]  # (nchunks,C,3)
         # rays may be multi-dim (e.g. (lc, P)); the chunk axis C leads
         cdim = (C,) + (1,) * len(P)
         iota_c = jnp.arange(C, dtype=jnp.int32).reshape(cdim)
@@ -635,7 +635,7 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
         def body(acc, args):
             blocked, tint = acc
             if any_transp:
-                v0, e1, e2, eps, transp, onehot, base = args
+                v0, e1, e2, eps, transp, ktc, base = args
             else:
                 v0, e1, e2, eps, base = args
             ex = lambda a: a.reshape(cdim)                 # noqa: E731
@@ -650,8 +650,6 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
                 # no material data touched
                 return (blocked | jnp.any(in_range, axis=0), tint), None
             blocked = blocked | jnp.any(in_range & ~ex(transp), axis=0)
-            ktc = jnp.dot(onehot, ds.materials.kt,
-                          preferred_element_type=jnp.float32)  # (C, 3)
             tr = in_range & ex(transp)
             tint = V3(
                 tint.x * jnp.prod(jnp.where(tr, ex(ktc[:, 0]), 1.0), axis=0),
@@ -661,7 +659,7 @@ def any_hit_tint_soa(ds: DeviceScene, static, o: V3, d: V3, max_dist,
 
         xs = (comp["v0"], comp["e1"], comp["e2"], eps_c)
         if any_transp:
-            xs += (jnp.asarray(transp_np), jnp.asarray(onehot_np))
+            xs += (jnp.asarray(transp_np), kt_chunks)
         xs += (jnp.arange(nchunks, dtype=jnp.int32) * C,)
         (blocked, tint), _ = jax.lax.scan(body, (blocked, tint), xs)
 

@@ -52,7 +52,8 @@ def dof_camera_params(z_buffer, aperture, focal_length, plane_in_focus):
     return scale, bias
 
 
-def depth_of_field(image, z_buffer, scale, bias, *, max_radius: int | None = None):
+def depth_of_field(image, z_buffer, scale, bias,
+                   *, max_radius: int | None = None):
     """Forward-mapped z-buffer DoF (postproc.c:104-164), gather form.
 
     Per source pixel: CoC radius r = int(|depth·scale+bias|·0.5),
@@ -60,59 +61,68 @@ def depth_of_field(image, z_buffer, scale, bias, *, max_radius: int | None = Non
     y ∈ [−hh, hh] with hh = int(sqrt(r²−x²)), only onto destinations with
     depth ≥ source depth; destination value = Σ(pixel·α) / Σα.
 
-    Cost is O(pixels · max_radius²) — dense over the offset window, unlike
-    the reference's per-source adaptive scatter which is O(Σ r_src²).  For
-    camera-derived parameters CoC radii are modest; pass ``max_radius`` to
-    cap the window explicitly (sources with larger CoC are then truncated).
+    TPU execution shape: one ``lax.scan`` over the static list of integer
+    offsets inside the radius-``max_radius`` rasterized disc (the only
+    offsets any source can splat along — |dy| ≤ int(sqrt(r²−dx²)) ⊆ the
+    disc).  Each step rolls ONE fused (h, w, 6) plane (weighted rgb, α, z,
+    r) — a single bandwidth-bound pass per offset, ~π/4 of the dense
+    window.
+
+    ``max_radius``: static disc bound.  ``None`` reads the true maximum
+    from the z-buffer (one host sync — fine eagerly, not allowed under
+    jit).  Under jit pass an explicit bound; sources with a larger CoC are
+    truncated to it (their in-disc offsets beyond the window are dropped).
     """
     h, w, _ = image.shape
     z = z_buffer.reshape(h, w)
     coc = jnp.abs(z * scale + bias)
     radius = (coc * 0.5).astype(jnp.int32)
     if max_radius is None:
+        if isinstance(jnp.max(radius), jax.core.Tracer):
+            raise ValueError(
+                "depth_of_field under jit needs a static max_radius")
         max_radius = int(jnp.max(radius))
+    R = int(max_radius)
     r_f = radius.astype(jnp.float32)
     alpha = jnp.minimum(1.0 / jnp.maximum(r_f * r_f, 1.0), 1.0)
     # NOTE r==0: the reference computes 1/0² = inf, MIN(inf,1)=1 → α=1
     alpha = jnp.where(radius == 0, 1.0, alpha)
-    weighted = image * alpha[..., None]
 
-    # gather: for each integer offset within the max radius, shift the
-    # source plane and accumulate where the offset is inside the source's
-    # own rasterized disc and the occlusion test passes.
-    def accum_for_dx(carry, dx):
+    # fused source plane: rgb·α | α | z | r   (one roll per offset)
+    stacked = jnp.concatenate(
+        [image * alpha[..., None], alpha[..., None], z[..., None],
+         r_f[..., None]], axis=-1)
+
+    # static offset list: the rasterized disc of radius R
+    offs = [(dy, dx)
+            for dx in range(-R, R + 1)
+            for dy in range(-int(np.sqrt(R * R - dx * dx)),
+                            int(np.sqrt(R * R - dx * dx)) + 1)]
+    offs = jnp.asarray(offs, jnp.int32)                    # (n, 2)
+
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+
+    def step(carry, off):
         acc, asum = carry
-        hh_src = jnp.sqrt(
-            jnp.maximum((r_f * r_f) - dx.astype(jnp.float32) ** 2, 0.0)
-        ).astype(jnp.int32)
-        in_x = jnp.abs(dx) <= radius
-
-        def accum_for_dy(carry2, dy):
-            acc2, asum2 = carry2
-            # source at (y-dy, x-dx) splats onto destination (y, x)
-            src_w = jnp.roll(weighted, (dy, dx), axis=(0, 1))
-            src_a = jnp.roll(alpha, (dy, dx), axis=(0, 1))
-            src_z = jnp.roll(z, (dy, dx), axis=(0, 1))
-            src_hh = jnp.roll(hh_src, (dy, dx), axis=(0, 1))
-            src_in_x = jnp.roll(in_x, (dy, dx), axis=(0, 1))
-            # reference bounds-checks instead of wrapping (postproc.c:124-140)
-            yy = jnp.arange(h)[:, None] - dy
-            xx = jnp.arange(w)[None, :] - dx
-            in_bounds = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-            ok = (src_in_x & (jnp.abs(dy) <= src_hh) & in_bounds
-                  & (src_z <= z))
-            acc2 = acc2 + jnp.where(ok[..., None], src_w, 0.0)
-            asum2 = asum2 + jnp.where(ok, src_a, 0.0)
-            return (acc2, asum2), None
-
-        (acc, asum), _ = jax.lax.scan(
-            accum_for_dy, (acc, asum),
-            jnp.arange(-max_radius, max_radius + 1))
+        dy, dx = off[0], off[1]
+        s = jnp.roll(stacked, (dy, dx), axis=(0, 1))
+        src_w, src_a = s[..., :3], s[..., 3]
+        src_z, src_r = s[..., 4], s[..., 5]
+        # source's own rasterized disc: |dx| <= r and |dy| <= int(sqrt(r²-dx²))
+        dxf = dx.astype(jnp.float32)
+        hh = jnp.floor(jnp.sqrt(jnp.maximum(src_r * src_r - dxf * dxf, 0.0)))
+        in_disc = (jnp.abs(dxf) <= src_r) & (jnp.abs(dy) <= hh)
+        # reference bounds-checks instead of wrapping (postproc.c:124-140)
+        in_bounds = ((yy - dy >= 0) & (yy - dy < h)
+                     & (xx - dx >= 0) & (xx - dx < w))
+        ok = in_disc & in_bounds & (src_z <= z)
+        acc = acc + jnp.where(ok[..., None], src_w, 0.0)
+        asum = asum + jnp.where(ok, src_a, 0.0)
         return (acc, asum), None
 
     acc = jnp.zeros_like(image)
     asum = jnp.zeros((h, w), jnp.float32)
-    (acc, asum), _ = jax.lax.scan(
-        accum_for_dx, (acc, asum), jnp.arange(-max_radius, max_radius + 1))
+    (acc, asum), _ = jax.lax.scan(step, (acc, asum), offs)
     # normalize (postproc.c:160-161); α sum is 0 only where nothing splatted
     return acc / jnp.where(asum > 0, asum, 1.0)[..., None]

@@ -227,7 +227,8 @@ def load_scene(path: str, scale: float | str | None = None,
             pos = _get_arr(params, "position", 3, scene_name)
             rot = _get_arr(params, "rotation", 3, scene_name)
             msc = float(_get_num(params, "scale", scene_name))
-            if mesh_root is not None and not os.path.isabs(fname):
+            if mesh_root is not None and not os.path.isabs(fname) \
+                    and os.path.exists(os.path.join(mesh_root, fname)):
                 fname = os.path.join(mesh_root, fname)
             elif not os.path.isabs(fname) and not os.path.exists(fname):
                 # reference semantics are CWD-relative (object.c:523 fopen);

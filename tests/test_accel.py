@@ -180,24 +180,39 @@ class TestReorder:
 
 @pytest.mark.skipif(not os.environ.get("CRT_SLOW"),
                     reason="slow golden test; set CRT_SLOW=1")
-class TestScene4Golden:
-    """Full scene4 (12 meshes, 27.6k tris, DoF-free default flags) against
-    the reference binary's render — run on TPU (CRT_TEST_TPU=1 CRT_SLOW=1)
-    or be patient on CPU."""
+class TestMeshSceneGoldens:
+    """Full mesh scenes against fresh renders of the reference binary (built
+    in a scratch dir with the substitute dragon/menger meshes from
+    assets/meshes in its meshes/ dir) — run on TPU (CRT_TEST_TPU=1
+    CRT_SLOW=1) or be patient on CPU.
 
-    def test_golden(self, reference_root):
+    scene4: 12 STL meshes, 27.6k tris, opaque (chain integrator).
+    scene5: ~100k-tri glass dragon — transparent triangles through the
+            cluster sweep + stack integrator + kt-tinted shadows
+            (accel.c:360-387, render.c:319-340) at scale.
+    scene6: 36k-tri Menger sponge, noisy-periodic texture, 100-sample light.
+
+    Reference C-vs-C rerenders of scene5/6 agree within 1 LSB on 100% of
+    pixels (converged 300/100-sample soft shadows), so tight gates are
+    safe."""
+
+    @pytest.mark.parametrize("name,min_within1", [
+        ("scene4", 0.995), ("scene5", 0.99), ("scene6", 0.99)])
+    def test_golden(self, reference_root, name, min_within1):
         from c_raytracer_tpu.image import read_tiff
         from c_raytracer_tpu.render import render
         from c_raytracer_tpu.scene import load_scene
         sc = reorder_scene(
-            load_scene(os.path.join(reference_root, "scenes/scene4.json")))
+            load_scene(os.path.join(reference_root, f"scenes/{name}.json"),
+                       mesh_root=reference_root))
         img, _ = render(sc, RenderConfig(), 128, 128, jax.random.PRNGKey(0))
         q = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.int32)
         g, _ = read_tiff(os.path.join(os.path.dirname(__file__), "goldens",
-                                      "scene4_128_default.tif"))
+                                      f"{name}_128_default.tif"))
         gq = (g * 255.0).astype(np.int32)
         diff = np.abs(q - gq).max(-1)
-        assert (diff <= 1).mean() >= 0.995
+        assert (diff <= 1).mean() >= min_within1, (
+            f"{name}: within1={(diff <= 1).mean()}, max={diff.max()}")
 
 
 class TestScene56Substitutes:

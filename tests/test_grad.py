@@ -86,14 +86,20 @@ class TestGradVsFiniteDifferences:
                 f"non-finite grad at {jax.tree_util.keystr(path)}"
 
     @pytest.mark.parametrize("which", [
-        ("sphere_center", 0, 2),   # big sphere z
-        ("sphere_center", 1, 0),   # second sphere x
-        ("sphere_radius", 0, None),
-        ("plane_d", 0, None),
+        # eps per component (verified sweeps on CPU and TPU):
+        # sphere_center[1,0] flips silhouette/occlusion boundaries at
+        # eps >= 5e-4 and needs the tiny step, while plane_d's loss has
+        # curvature at the 5e-4..1e-3 scale on BOTH platforms (secant
+        # reads -0.21 vs slope -0.26) plus TPU rounding noise at 2.5e-4,
+        # and only stabilizes near 2e-3.
+        ("sphere_center", 0, 2, 2.5e-4),   # big sphere z
+        ("sphere_center", 1, 0, 2.5e-4),   # second sphere x
+        ("sphere_radius", 0, None, 2.5e-4),
+        ("plane_d", 0, None, 2e-3),
     ])
     def test_geometry_grads(self, setup, which):
         scene, loss, g = setup
-        name, i, j = which
+        name, i, j, eps = which
 
         def getter(tree):
             leaf = getattr(tree, name)
@@ -104,11 +110,33 @@ class TestGradVsFiniteDifferences:
             leaf = _set(leaf, i if j is None else (i, j), v)
             return dataclasses.replace(tree, **{name: leaf})
 
-        # eps must stay below the first silhouette/occlusion pixel flip:
-        # at 2e-3 the FD crosses discrete boundaries and diverges, at
-        # 2.5e-4 it converges to the analytic value (verified sweep)
         check_component(loss, scene.params, g, getter, setter,
-                        eps=2.5e-4, rtol=0.2)
+                        eps=eps, rtol=0.2)
+
+    def test_analytic_grads_match_cpu_backend(self, setup):
+        """Hardware gate: when the suite runs on the real chip
+        (CRT_TEST_TPU=1), the full analytic gradient pytree must agree
+        with the CPU backend's — FD on TPU is noise-limited, but the
+        reverse-mode program itself must not drift across backends."""
+        if jax.default_backend() == "cpu":
+            pytest.skip("single-backend run")
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            pytest.skip("no CPU backend registered")
+        scene, loss, g = setup
+        with jax.default_device(cpu):
+            g_cpu = jax.jit(jax.grad(lambda p: loss(p)))(scene.params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g)[0],
+                jax.tree_util.tree_flatten_with_path(g_cpu)[0]):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:     # e.g. tri_vertices in a mesh-free scene
+                continue
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-3)
+            assert np.allclose(a, b, atol=0.05 * scale), (
+                f"backend grad drift at {jax.tree_util.keystr(path)}: "
+                f"max |a-b| = {np.abs(a - b).max()} vs scale {scale}")
 
     @pytest.mark.parametrize("field,idx", [
         ("ka", (0, 0)), ("ke", (4, 1)), ("ks", (1, 2)), ("kr", (0, 0)),
@@ -150,7 +178,7 @@ class TestGradVsFiniteDifferences:
         # min_mag: focal_length's true gradient is exactly 0 (the pinhole
         # construction scales vx and plane_center both ∝ focal, so the
         # normalized directions are invariant, image.c:42-55) — analytic
-        # and FD are both float noise there, and the FD noise for this
-        # eps/loss sits just above the default 1e-4 floor.
+        # and FD are both float noise there.  The FD noise for this
+        # eps/loss is ~6e-4 on TPU (measured), so the floor sits at 1e-3.
         check_component(loss, scene.params, g, getter, setter,
-                        eps=2e-3, rtol=0.3, min_mag=5e-4)
+                        eps=2e-3, rtol=0.3, min_mag=1e-3)

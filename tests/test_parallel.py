@@ -45,6 +45,23 @@ class TestShardedRender:
             np.asarray(img0), np.asarray(img1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=1e-5)
 
+    def test_pixel_axis_partitions_memory(self, scene):
+        """Auto-sharding proof (BASELINE '>90% linear scaling' precondition):
+        per-device temp memory of the compiled sharded program must shrink
+        ~1/N — wall-clock on shared-core virtual CPU devices proves nothing,
+        compiled per-device buffer sizes do."""
+        cfg = RenderConfig(max_bounces=2, rounds=3)
+        key = jax.random.PRNGKey(0)
+        temps = {}
+        for n in (1, 8):
+            mesh = make_mesh(n_px=n, n_sp=1, devices=jax.devices()[:n])
+            fn = make_sharded_renderer(scene.static, cfg, 128, 128, mesh)
+            ma = fn.lower(scene.params, key).compile().memory_analysis()
+            temps[n] = ma.temp_size_in_bytes
+        # require at least 4x shrink at 8 devices (ideal 8x; padding and
+        # replicated scene constants eat a bit)
+        assert temps[8] * 4 <= temps[1], temps
+
     def test_sp_axis_path_tracing(self, scene):
         # sample-parallel path GI: 2 sp groups x 2 local spp == spp 4
         cfg = RenderConfig(max_bounces=2, rounds=3, gi_model="path",

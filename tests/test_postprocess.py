@@ -3,6 +3,7 @@ codec roundtrips (raw handoff = the reference's checkpoint/resume format)."""
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -98,6 +99,61 @@ class TestDoF:
         # scale=0, bias=0 -> radius 0 everywhere -> alpha 1, identity
         out = depth_of_field(jnp.asarray(img), jnp.asarray(z), 0.0, 0.0)
         np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def raw3():
+    """scene3 raw render (closed room: every ray hits, z > 0 everywhere —
+    --dof-camera divides by z_min, so the reference segfaults on images
+    with background pixels)."""
+    img, z = read_tiff(os.path.join(GOLDEN_DIR, "scene3_96_raw.tif"))
+    return img, z.reshape(96, 96)
+
+
+class TestDoFCamera:
+    def test_vs_reference(self, raw3):
+        """--dof-camera golden (postproc.c:52-69 scale/bias derivation)."""
+        from c_raytracer_tpu.postprocess import dof_camera_params
+        img, z = raw3
+        scale, bias = dof_camera_params(jnp.asarray(z), 0.1, 0.2, 3.0)
+        ours = q8(depth_of_field(jnp.asarray(img), jnp.asarray(z),
+                                 scale, bias))
+        np.testing.assert_array_equal(ours, golden("pp_dof_camera.tif"))
+
+    def test_big_radius_vs_reference(self, raw3):
+        """CoC radii up to 9 px: exercises the full rasterized-disc logic
+        (hh = int(sqrt(r²−x²)), occlusion, boundary clamp) vs the C binary.
+
+        Gate is 99.9% (not exact): the raw input contains the reference
+        raster's uninitialized-memory garbage (±1e36 texels); a few pixels
+        accumulate sums OF that garbage whose sign depends on float
+        summation order, flipping their 0/255 clamp across platforms."""
+        img, z = raw3
+        ours = q8(depth_of_field(jnp.asarray(img), jnp.asarray(z),
+                                 1.2, -12.0))
+        diff = np.abs(ours - golden("pp_dof_big.tif")).max(-1)
+        assert (diff <= 1).mean() >= 0.999, (
+            f"within1={(diff <= 1).mean()}, max={diff.max()}")
+
+    def test_jit_static_radius_matches_eager(self, raw3):
+        """Production path: jitted with a static max_radius bound (no host
+        sync) must equal the eager auto-radius result when the bound
+        covers the true max."""
+        import functools
+        img, z = raw3
+        eager = np.asarray(depth_of_field(jnp.asarray(img), jnp.asarray(z),
+                                          1.2, -12.0))
+        f = jax.jit(functools.partial(depth_of_field, max_radius=12))
+        jitted = np.asarray(f(jnp.asarray(img), jnp.asarray(z), 1.2, -12.0))
+        fin = np.isfinite(eager)   # raw input has NaN texels; NaN == NaN
+        np.testing.assert_array_equal(fin, np.isfinite(jitted))
+        np.testing.assert_array_equal(eager[fin], jitted[fin])
+
+    def test_jit_under_trace_requires_bound(self, raw3):
+        img, z = raw3
+        with pytest.raises((ValueError, jax.errors.ConcretizationTypeError)):
+            jax.jit(depth_of_field)(jnp.asarray(img), jnp.asarray(z),
+                                    1.2, -12.0)
 
 
 class TestCLI:
