@@ -55,9 +55,10 @@ def measure_ours():
     return total_rays / dt, total_rays, dt
 
 
-def measure_ours_bwd(rays_per_pixel):
+def measure_ours_bwd(rays_per_pixel, res):
     """fwd+bwd rays/s: gradient of an L2 loss w.r.t. every scene param
-    (the BASELINE's differentiable-render metric), at 256² to bound the
+    (the BASELINE's differentiable-render metric) at the BASELINE
+    resolution — per-round + per-chunk rematerialization bounds the
     backward sweep's memory."""
     import jax
     import jax.numpy as jnp
@@ -65,7 +66,6 @@ def measure_ours_bwd(rays_per_pixel):
     from c_raytracer_tpu.render import RenderConfig, make_renderer
     from c_raytracer_tpu.scene import load_scene
 
-    res = 256
     scene = load_scene(SCENE)
     fn = make_renderer(scene.static, RenderConfig(), res, res, jit=False)
 
@@ -76,13 +76,64 @@ def measure_ours_bwd(rays_per_pixel):
     g = jax.jit(jax.grad(loss))
     out = g(scene.params, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    n_iters = 3
+    n_iters = 2
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = g(scene.params, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
     return res * res * rays_per_pixel / dt, dt
+
+
+def measure_path_gi():
+    """Path-traced GI (-g path -n 4) rays/s at 1024² — the path-tracer
+    half of the north star."""
+    import jax
+
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    scene = load_scene(SCENE)
+    cfg = RenderConfig(gi_model="path", samples_per_pixel=4)
+    fn = make_renderer(scene.static, cfg, RES, RES, with_stats=True)
+    img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
+    img.block_until_ready()
+    n_iters = 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img, z, stats = fn(scene.params, jax.random.PRNGKey(i))
+        img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    total = float(stats["main_rays"] + stats["shadow_rays"]
+                  + stats["gi_rays"])
+    return total / dt, dt
+
+
+def measure_scene4():
+    """Mesh workload (27.6k tris, cluster traversal + triangle-shortlist
+    shadows) at 512²."""
+    import jax
+
+    from c_raytracer_tpu.accel import reorder_scene
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    scene = reorder_scene(
+        load_scene("/root/reference/scenes/scene4.json",
+                   mesh_root="/root/reference"))
+    fn = make_renderer(scene.static, RenderConfig(), 512, 512,
+                       with_stats=True)
+    img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
+    img.block_until_ready()
+    n_iters = 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img, z, stats = fn(scene.params, jax.random.PRNGKey(i))
+        img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    total = float(stats["main_rays"] + stats["shadow_rays"]
+                  + stats["gi_rays"])
+    return total / dt, dt
 
 
 def measure_reference():
@@ -117,9 +168,17 @@ def main():
     rays_per_pixel = total_rays / (RES * RES)
 
     try:
-        bwd_rays_per_s, bwd_dt = measure_ours_bwd(rays_per_pixel)
+        bwd_rays_per_s, bwd_dt = measure_ours_bwd(rays_per_pixel, RES)
     except Exception:
         bwd_rays_per_s, bwd_dt = -1.0, -1.0
+    try:
+        path_rays_per_s, path_dt = measure_path_gi()
+    except Exception:
+        path_rays_per_s, path_dt = -1.0, -1.0
+    try:
+        s4_rays_per_s, s4_dt = measure_scene4()
+    except Exception:
+        s4_rays_per_s, s4_dt = -1.0, -1.0
 
     ref = measure_reference()
     if ref is not None:
@@ -137,8 +196,12 @@ def main():
         "detail": {
             "seconds_per_frame": round(dt, 4),
             "rays_per_pixel": round(rays_per_pixel, 1),
-            "fwd_bwd_rays_per_s_256": round(bwd_rays_per_s),
-            "fwd_bwd_seconds_256": round(bwd_dt, 4),
+            "fwd_bwd_rays_per_s_1024": round(bwd_rays_per_s),
+            "fwd_bwd_seconds_1024": round(bwd_dt, 4),
+            "path_gi_n4_rays_per_s_1024": round(path_rays_per_s),
+            "path_gi_n4_seconds_1024": round(path_dt, 4),
+            "scene4_512_rays_per_s": round(s4_rays_per_s),
+            "scene4_512_seconds": round(s4_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))

@@ -140,18 +140,33 @@ class Intersector:
 
         blocked_pm = jnp.moveaxis(blocked, 2, 0)             # (P, nc, lc)
         remat = getattr(self.cfg, "remat", True)
+        k_short = getattr(self.cfg, "bvh_shadow_shortlist", 0)
+        if k_short:
+            # triangle-level shortlist: score once per pixel, stream the
+            # sample chunks against K triangles instead of visits×C
+            ecenter = 0.5 * (emitter_lo + emitter_hi)
+            erad = 0.5 * jnp.linalg.norm(emitter_hi - emitter_lo)
+            sblk, sgid, lane_ok = traverse.shadow_shortlist(
+                self.clusters, origin_aos, cids, ok, ecenter, erad, k_short)
+
+            def sweep(acc):
+                return traverse.any_hit_tint_shortlist(
+                    self.clusters, origin_aos, sblk, sgid, lane_ok,
+                    cached_dirs, nchunks, acc, remat=remat)
+        else:
+            def sweep(acc):
+                return traverse.any_hit_tint_shared(
+                    self.clusters, origin_aos, cids, ok, cached_dirs,
+                    nchunks, acc, remat=remat)
+
         if not has_transp:
-            blocked2 = traverse.any_hit_tint_shared(
-                self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
-                blocked_pm, remat=remat)
+            blocked2 = sweep(blocked_pm)
             # saved residual: backward skips the whole sweep (core/remat.py)
             blocked2 = remat_mod.name_occlusion(blocked2)
             return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
         tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
         # (nc, lc, P, 3) -> (P, nc, lc, 3)
-        blocked2, tint2 = traverse.any_hit_tint_shared(
-            self.clusters, origin_aos, cids, ok, cached_dirs, nchunks,
-            (blocked_pm, tint_pm), remat=remat)
+        blocked2, tint2 = sweep((blocked_pm, tint_pm))
         blocked2 = remat_mod.name_occlusion(blocked2)
         blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
         tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)

@@ -57,6 +57,11 @@ class ClusterSet:
     lo: jax.Array       # (K, 3) cluster AABB min, inflated by eps
     hi: jax.Array       # (K, 3) cluster AABB max, inflated by eps
     gid0: jax.Array     # () int32 global prim id of triangle 0 (= n_spheres)
+    flat: jax.Array     # (K·C, 13|17) the same fields, triangle-major —
+    #                     shortlist gathers pull per-triangle rows
+    bound: jax.Array    # (K, C, 4) per-triangle bounding sphere (centroid,
+    #                     radius; padding lanes get radius -1) for
+    #                     segment-capsule scoring; selection-only (no grads)
 
     @property
     def has_transp(self) -> bool:
@@ -102,8 +107,21 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
         rows += [kt, jnp.asarray(transp_np, jnp.float32)[:, None]]
         nfields = _NF_TRANSP
 
-    blk = jnp.concatenate(rows, axis=1)                 # (K*C, F)
-    blk = blk.reshape(K, C, nfields).transpose(0, 2, 1)  # (K, F, C)
+    flat = jnp.concatenate(rows, axis=1)                # (K*C, F)
+    blk = flat.reshape(K, C, nfields).transpose(0, 2, 1)  # (K, F, C)
+
+    # per-triangle bounding spheres for shortlist scoring (selection only)
+    v1, v2 = v0 + e1, v0 + e2
+    cen = (v0 + v1 + v2) * jnp.float32(1.0 / 3.0)
+    rad = jnp.sqrt(jnp.maximum(jnp.maximum(
+        jnp.sum((v0 - cen) ** 2, -1), jnp.sum((v1 - cen) ** 2, -1)),
+        jnp.sum((v2 - cen) ** 2, -1)))
+    valid_tri = jnp.arange(K * C) < nt
+    rad = jnp.where(valid_tri, rad + eps, -1.0)   # eps-inflated like the
+    #                                               cluster AABBs; pads never
+    #                                               overlap any capsule
+    bound = jax.lax.stop_gradient(
+        jnp.concatenate([cen, rad[:, None]], -1).reshape(K, C, 4))
 
     # AABB refit: per-triangle min/max over its 3 vertices, masked padding,
     # reduced per cluster; inflated by the cluster's max epsilon (the
@@ -116,7 +134,7 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
     lo = jax.lax.stop_gradient(vmin - ceps)
     hi = jax.lax.stop_gradient(vmax + ceps)
     return ClusterSet(blk=blk, lo=lo, hi=hi,
-                      gid0=jnp.int32(ns))
+                      gid0=jnp.int32(ns), flat=flat, bound=bound)
 
 
 def _visit_order(cs: ClusterSet, o, d, visits: int):
@@ -175,13 +193,20 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
     """Fold the nearest-``visits`` clusters' triangles into ``best``.
 
     o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
-    sphere/plane pre-pass.  Returns the updated best tuple."""
+    sphere/plane pre-pass.  Returns the updated best tuple.
+
+    The visit scan carries only (t, gid) — the winning lane's id is
+    arithmetic (cluster id × C + argmin lane), so the loop runs with NO
+    per-ray data gathers (profiling: four take_along_axis gathers per
+    visit were ~16% of a scene4 frame).  The winner's normal is fetched
+    once after the sweep with a single 3-component gather."""
     C = cs.blk.shape[2]
     cids, ok, entry = _visit_order(cs, o, d, visits)
     V = cids.shape[1]
+    bt0, bg0, bn0 = best
 
-    def body(best, v):
-        bt, bg, bn = best
+    def body(b, v):
+        bt, bg = b
         cid = cids[:, v]
         # skip clusters that can't beat the running best: sorted entries
         # mean every later visit is farther (accel.c:341-352 pruning)
@@ -190,19 +215,22 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
         t, hit = _mt_block(blk, o, d)
         t = jnp.where(hit & live[:, None], t, FLT_MAX)
         lane = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, lane[:, None], -1)[:, 0]
+        tmin = jnp.min(t, axis=-1)
         better = tmin < bt
-        nrm = jnp.stack(
-            [jnp.take_along_axis(blk[:, _F_N + i], lane[:, None], -1)[:, 0]
-             for i in range(3)], -1)
         gid = cs.gid0 + cid * C + lane.astype(jnp.int32)
-        best = (jnp.where(better, tmin, bt),
-                jnp.where(better, gid, bg),
-                jnp.where(better[:, None], nrm, bn))
-        return best, None
+        return (jnp.where(better, tmin, bt),
+                jnp.where(better, gid, bg)), None
 
-    best, _ = jax.lax.scan(body, best, jnp.arange(V))
-    return best
+    (bt, bg), _ = jax.lax.scan(body, (bt0, bg0), jnp.arange(V))
+
+    # winner normal: one gather (differentiable w.r.t. the packed vertices,
+    # exactly like the per-visit takes it replaces)
+    won = bg != bg0                        # a triangle beat the pre-pass
+    ti = jnp.clip(bg - cs.gid0, 0, cs.blk.shape[0] * C - 1)
+    k, c = ti // C, ti % C
+    nrm = jnp.stack([cs.blk[k, _F_N + i, c] for i in range(3)], -1)
+    bn = jnp.where(won[:, None], nrm, bn0)
+    return bt, bg, bn
 
 
 def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
@@ -316,6 +344,114 @@ def _mt_block_multi(blk, o, d):
     hit = (~parallel & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
            & (t > eps))
     return t, hit
+
+
+def shadow_shortlist(cs: ClusterSet, origin, cids, ok, ecenter, erad,
+                     k_short: int):
+    """Per-pixel top-K candidate triangles for a shared-origin shadow query.
+
+    The cluster-level capsule prefilter (shadow_visit_order) is coarse:
+    Morton clusters have fat AABBs relative to the narrow origin→emitter
+    capsule, so most of the V×C gathered candidates can never block any
+    sample (profiling: the V×C Möller-Trumbore sweep dominates mesh-scene
+    frames).  This second level scores each candidate *triangle's* bounding
+    sphere against the same capsule and keeps the nearest ``k_short``
+    overlapping ones per pixel — the sample chunks then stream against K
+    triangles instead of V·C.
+
+    origin: (P, 3); cids/ok: (P, V) from shadow_visit_order; ecenter (3,),
+    erad ().  Returns (blk (P, F, K) gathered triangle rows, gid (P, K)
+    global prim ids, lane_ok (P, K)).  Selection only — gradients stopped
+    at the scores; the gathered rows keep their vertex gradients."""
+    origin = jax.lax.stop_gradient(origin)
+    C = cs.blk.shape[2]
+    V = cids.shape[1]
+    P = origin.shape[0]
+    K = min(k_short, V * C)
+
+    seg = ecenter[None] - origin                           # (P, 3)
+    seglen2 = jnp.maximum(jnp.sum(seg * seg, -1), 1e-30)   # (P,)
+    seglen = jnp.sqrt(seglen2)
+
+    def score_visit(v):
+        cid = cids[:, v]                                   # (P,)
+        b = cs.bound[cid]                                  # (P, C, 4)
+        cen, rad = b[..., :3], b[..., 3]
+        # componentwise (no (P,C,3) dot_generals): rel·seg and |rel|², then
+        # point-segment distance via |rel|² - s²·|seg|²  (closest point is
+        # s·seg along the chord, so |rel - s·seg|² = |rel|² - 2s(rel·seg)
+        # + s²|seg|² and rel·seg = s_unclipped·|seg|²)
+        rx = cen[..., 0] - origin[:, None, 0]
+        ry = cen[..., 1] - origin[:, None, 1]
+        rz = cen[..., 2] - origin[:, None, 2]
+        dot = (rx * seg[:, None, 0] + ry * seg[:, None, 1]
+               + rz * seg[:, None, 2])                     # (P, C)
+        dist2 = rx * rx + ry * ry + rz * rz
+        s = jnp.clip(dot / seglen2[:, None], 0.0, 1.0)
+        # residual componentwise (the expanded |rel|²-2s·dot+s²|seg|² form
+        # cancels catastrophically for centroids near the chord)
+        cx = rx - s * seg[:, None, 0]
+        cy = ry - s * seg[:, None, 1]
+        cz = rz - s * seg[:, None, 2]
+        d2 = cx * cx + cy * cy + cz * cz
+        # margin must use the LARGEST chord fraction any point of the
+        # bounding sphere can project to (a hit point x inside the sphere
+        # has u_x ≤ s_hi), not the centroid's own fraction s — the capsule
+        # radius grows along the chord, so s·erad under-covers hits past
+        # the centroid's projection
+        s_hi = jnp.clip((dot + rad * seglen[:, None]) / seglen2[:, None],
+                        0.0, 1.0)
+        margin = rad + s_hi * erad
+        overlap = (d2 <= margin * margin) & (rad >= 0) & ok[:, v, None]
+        return jnp.where(overlap, dist2, FLT_MAX)
+
+    scores = jax.vmap(score_visit, out_axes=1)(jnp.arange(V))
+    scores = scores.reshape(P, V * C)
+    neg_top, pos = jax.lax.top_k(-scores, K)               # (P, K)
+    lane_ok = -neg_top < FLT_MAX
+    # flat tri index arithmetically from the winning position: pos encodes
+    # (visit, lane); only a tiny (P, V) gather of cids — not a (P, V·C)
+    # take_along_axis (profiling: that take alone was ~0.5s/frame)
+    win_cid = jnp.take_along_axis(cids, pos // C, -1)      # (P, K)
+    ti = win_cid * C + (pos % C)
+    ti = jnp.where(lane_ok, ti, 0)
+    blk = cs.flat[ti]                                      # (P, K, F)
+    blk = jnp.swapaxes(blk, 1, 2)                          # (P, F, K)
+    gid = cs.gid0 + ti
+    return blk, gid, lane_ok
+
+
+def any_hit_tint_shortlist(cs: ClusterSet, origin, blk, gid, lane_ok,
+                           dirs_fn, nchunks, acc, *, remat: bool = True):
+    """Shared-origin soft-shadow sweep over a per-pixel triangle shortlist.
+
+    blk (P, F, K), gid (P, K), lane_ok (P, K) from shadow_shortlist; acc
+    and semantics exactly as any_hit_tint_shared — merged-product
+    occlusion, opaque scenes carry only ``blocked``."""
+    has_transp = cs.has_transp
+
+    def chunk_body(acc, chunk_i):
+        d, max_dist, exclude_gid = dirs_fn(chunk_i)
+        t, hit = _mt_block_multi(blk, origin, d)           # (P, lc, K)
+        in_range = (hit & lane_ok[:, None, :]
+                    & (t < max_dist[..., None])
+                    & (gid[:, None, :] != exclude_gid[..., None]))
+        if not has_transp:
+            blocked = acc
+            return blocked.at[:, chunk_i].set(
+                blocked[:, chunk_i] | jnp.any(in_range, axis=-1)), None
+        blocked, tint = acc
+        transp = blk[:, _F_TRANSP]                         # (P, K) 0/1
+        fs = [jnp.where(in_range,
+                        (transp * blk[:, _F_KT + c])[:, None, :], 1.0)
+              for c in range(3)]
+        ktp = jnp.stack([jnp.prod(f, axis=-1) for f in fs], axis=-1)
+        tint = tint.at[:, chunk_i].multiply(ktp)
+        return (blocked, tint), None
+
+    body = remat_mod.checkpoint(chunk_body) if remat else chunk_body
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(nchunks))
+    return acc
 
 
 def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,

@@ -6,11 +6,11 @@ test is one lane of a vector program.  This module provides:
 
 * ``DeviceScene`` — derived device arrays (triangle edges/normals computed
   from the differentiable vertices, per-primitive epsilon/material tables);
-* ``closest_hit`` — closest intersection over all primitives with the
+* ``closest_hit_soa`` — closest intersection over all primitives with the
   reference's exact accept rules (sphere: object.c:306-321; triangle
-  Möller-Trumbore: object.c:422-441; plane: object.c:473-488), primitive
+  Möller-Trumbore: object.c:422-441; plane: object.c:473-488), triangle
   chunked so (rays × triangles) intermediates stay memory-bounded;
-* ``any_hit_tint`` — shadow-ray query: opaque blockers block, transparent
+* ``any_hit_tint_soa`` — shadow-ray query: opaque blockers block, transparent
   blockers tint the carried light by kt (accel.c:360-387, object.c:183-197);
 * ``intersect_prim`` — single-primitive re-test for rays inside an object
   (render.c:143-144).
@@ -153,171 +153,6 @@ def plane_intersect(o, d, n, dist, eps):
     hit = ~parallel & (t > eps)
     flip = ~jnp.signbit(a)
     return t, hit, flip
-
-
-def _chunked_min_triangles(ds: DeviceScene, o, d, best, chunk: int):
-    """Scan over triangle chunks carrying (best_t, best_gid, best_normal)."""
-    nt = ds.tri_v0.shape[0]
-    if nt == 0:
-        return best
-    nchunks = -(-nt // chunk)
-    pad = nchunks * chunk - nt
-    def padded(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
-    v0 = padded(ds.tri_v0, 0.0).reshape(nchunks, chunk, 3)
-    e1 = padded(ds.tri_e1, 0.0).reshape(nchunks, chunk, 3)
-    e2 = padded(ds.tri_e2, 0.0).reshape(nchunks, chunk, 3)
-    nn = padded(ds.tri_n, 0.0).reshape(nchunks, chunk, 3)
-    # padded epsilon 1.0 makes degenerate (a==0) rows parallel -> miss
-    ep = padded(ds.tri_eps, 1.0).reshape(nchunks, chunk)
-    gid0 = jnp.int32(ds.sph_center.shape[0])
-
-    def body(best, args):
-        v0c, e1c, e2c, nnc, epc, base = args
-        t, hit = triangle_intersect(o, d, v0c, e1c, e2c, epc)
-        t = jnp.where(hit, t, FLT_MAX)
-        i = jnp.argmin(t, axis=-1)                      # (R,)
-        tmin = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
-        nrm = nnc[i]                                    # (R, 3)
-        bt, bg, bn = best
-        better = tmin < bt
-        best = (
-            jnp.where(better, tmin, bt),
-            jnp.where(better, base + i.astype(jnp.int32) + gid0, bg),
-            jnp.where(better[..., None], nrm, bn),
-        )
-        return best, None
-
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    best, _ = jax.lax.scan(
-        body, best, (v0, e1, e2, nn, ep, bases))
-    return best
-
-
-def closest_hit(ds: DeviceScene, o, d, *, tri_chunk: int = 4096,
-                include_triangles: bool = True):
-    """Closest intersection over all primitives.
-
-    Returns (t, gid, normal): t = FLT_MAX and gid = -1 on miss.  Planes are
-    tested first (render.c:118-124 tests unbound objects before the BVH),
-    then spheres, then triangles; later tests win only with strictly
-    smaller t (accel.c:328).  ``include_triangles=False`` returns the
-    sphere/plane pre-pass only (the cluster traversal in accel/ folds the
-    triangles instead).
-    """
-    R = o.shape[:-1]
-    best_t = jnp.full(R, FLT_MAX)
-    best_gid = jnp.full(R, -1, jnp.int32)
-    best_n = jnp.zeros(R + (3,))
-
-    ns = ds.sph_center.shape[0]
-    nt = ds.tri_v0.shape[0]
-
-    if ds.pln_n.shape[0]:
-        t, hit, flip = plane_intersect(o, d, ds.pln_n, ds.pln_d, ds.pln_eps)
-        t = jnp.where(hit, t, FLT_MAX)
-        i = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
-        n = ds.pln_n[i]
-        flip_sel = jnp.take_along_axis(flip, i[..., None], -1)[..., 0]
-        n = jnp.where(flip_sel[..., None], -n, n)
-        better = tmin < best_t
-        best_t = jnp.where(better, tmin, best_t)
-        best_gid = jnp.where(better, (ns + nt) + i.astype(jnp.int32), best_gid)
-        best_n = jnp.where(better[..., None], n, best_n)
-
-    if ns:
-        t, hit = sphere_intersect(
-            o, d, ds.sph_center, ds.sph_radius, ds.sph_eps)
-        t = jnp.where(hit, t, FLT_MAX)
-        i = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, i[..., None], -1)[..., 0]
-        # clamp miss-lane t for the normal: inf hit points poison grads
-        t_n = jnp.where(tmin < FLT_MAX, tmin, 1.0)
-        n = sphere_normal(o, d, t_n, ds.sph_center[i], ds.sph_radius[i])
-        better = tmin < best_t
-        best_t = jnp.where(better, tmin, best_t)
-        best_gid = jnp.where(better, i.astype(jnp.int32), best_gid)
-        best_n = jnp.where(better[..., None], n, best_n)
-
-    if include_triangles:
-        best_t, best_gid, best_n = _chunked_min_triangles(
-            ds, o, d, (best_t, best_gid, best_n), tri_chunk)
-    return best_t, best_gid, best_n
-
-
-def any_hit_tint(ds: DeviceScene, transparent_mask, kt_by_mat,
-                 o, d, max_dist, exclude_gid, *, tri_chunk: int = 4096,
-                 include_triangles: bool = True):
-    """Shadow query (is_light_blocked, render.c:126-134).
-
-    Any opaque primitive with a hit at t < max_dist blocks; transparent
-    hits multiply the carried tint by their material kt (accel.c:369-374).
-    ``exclude_gid`` is the emitter (accel.c:367); the shaded object itself
-    is NOT excluded (only its epsilon offsets the origin).
-
-    Returns (blocked, tint): blocked (R,) bool, tint (R,3).
-    transparent_mask: (M,) bool per material; kt_by_mat: (M,3).
-    """
-    R = o.shape[:-1]
-    blocked = jnp.zeros(R, bool)
-    tint = jnp.ones(R + (3,))
-    ns = ds.sph_center.shape[0]
-    nt = ds.tri_v0.shape[0]
-
-    def fold(t, hit, gids):
-        """Accumulate one primitive-batch of (R, K) results."""
-        nonlocal blocked, tint
-        mat = ds.mat_idx[gids]                       # (K,) or (R, K)
-        in_range = hit & (t < max_dist[..., None]) \
-            & (gids != exclude_gid[..., None])
-        transp = transparent_mask[mat]
-        blocked = blocked | jnp.any(in_range & ~transp, axis=-1)
-        # product of kt over transparent blockers
-        kts = jnp.where((in_range & transp)[..., None],
-                        kt_by_mat[mat], 1.0)        # (R, K, 3)
-        tint = tint * jnp.prod(kts, axis=-2)
-
-    if ds.pln_n.shape[0]:
-        t, hit, _ = plane_intersect(o, d, ds.pln_n, ds.pln_d, ds.pln_eps)
-        fold(t, hit, ns + nt + jnp.arange(ds.pln_n.shape[0], dtype=jnp.int32))
-    if ns:
-        t, hit = sphere_intersect(
-            o, d, ds.sph_center, ds.sph_radius, ds.sph_eps)
-        fold(t, hit, jnp.arange(ns, dtype=jnp.int32))
-    if nt and include_triangles:
-        nchunks = -(-nt // tri_chunk)
-        pad = nchunks * tri_chunk - nt
-        def padded(x, fill):
-            return jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
-                if pad else x
-        v0 = padded(ds.tri_v0, 0.0).reshape(nchunks, tri_chunk, 3)
-        e1 = padded(ds.tri_e1, 0.0).reshape(nchunks, tri_chunk, 3)
-        e2 = padded(ds.tri_e2, 0.0).reshape(nchunks, tri_chunk, 3)
-        ep = padded(ds.tri_eps, 1.0).reshape(nchunks, tri_chunk)
-
-        def body(carry, args):
-            blocked, tint = carry
-            v0c, e1c, e2c, epc, base = args
-            t, hit = triangle_intersect(o, d, v0c, e1c, e2c, epc)
-            gids = base + jnp.arange(tri_chunk, dtype=jnp.int32) + ns
-            mat = ds.mat_idx[jnp.minimum(gids, ds.mat_idx.shape[0] - 1)]
-            valid = (gids < ns + nt)
-            in_range = hit & (t < max_dist[..., None]) \
-                & (gids != exclude_gid[..., None]) & valid
-            transp = transparent_mask[mat]
-            blocked = blocked | jnp.any(in_range & ~transp, axis=-1)
-            ktv = jnp.where((in_range & transp)[..., None],
-                            kt_by_mat[mat], 1.0)
-            tint = tint * jnp.prod(ktv, axis=-2)
-            return (blocked, tint), None
-
-        bases = jnp.arange(nchunks, dtype=jnp.int32) * tri_chunk
-        (blocked, tint), _ = jax.lax.scan(
-            body, (blocked, tint), (v0, e1, e2, ep, bases))
-    return blocked, tint
 
 
 def intersect_prim(ds: DeviceScene, o, d, gid):

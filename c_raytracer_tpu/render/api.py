@@ -30,7 +30,15 @@ def make_renderer(static: T.SceneStatic, cfg: RenderConfig,
     """
 
     n_pixels = resx * resy
-    tile = min(cfg.tile_size, n_pixels)
+    tile_cfg = cfg.tile_size
+    if tile_cfg is None:
+        # auto (see RenderConfig.tile_size): small tiles let the per-tile
+        # dead-round cond skip mostly-dead bounce rounds on cluster scenes
+        from c_raytracer_tpu.accel.intersect import AUTO_THRESHOLD
+        cluster_scene = (static.n_triangles >= AUTO_THRESHOLD
+                         and cfg.accel != "none")
+        tile_cfg = 2048 if cluster_scene else 65536
+    tile = min(tile_cfg, n_pixels)
     # pad pixel count to a whole number of tiles
     n_tiles = -(-n_pixels // tile)
     pad = n_tiles * tile - n_pixels

@@ -31,7 +31,17 @@ class RenderConfig:
     # TPU execution shape (no reference equivalent; OpenMP row-split analog)
     rounds: int | None = None       # wavefront rounds; None -> heuristic
     stack_size: int = 8             # per-pixel pending-ray stack capacity
-    tile_size: int = 65536          # pixels per wavefront tile
+    tile_size: int | None = None    # pixels per wavefront tile; None ->
+                                    # auto: 2048 for cluster scenes (the
+                                    # per-tile dead-round cond then skips
+                                    # bounce rounds in tiles whose chains
+                                    # died — secondary rounds are >90% dead
+                                    # lanes on mesh scenes and live pixels
+                                    # cluster spatially; measured 3.1s ->
+                                    # 0.78s on scene4 512², 4.3s -> 0.27s
+                                    # on scene5 128²), 65536 for dense
+                                    # small scenes (scene1 1024² prefers
+                                    # big tiles: 330 vs 450 ms)
     light_chunk: int = 40           # soft-shadow samples per scan step
                                     # (multiple of 8: sublane-aligned)
     gi_chunk: int = 1               # hemisphere samples per scan step
@@ -57,6 +67,12 @@ class RenderConfig:
                                     # much tighter than the closest-hit slab
                                     # ordering, so shadow sweeps usually
                                     # need fewer visits
+    bvh_shadow_shortlist: int = 32  # per-pixel top-K candidate triangles
+                                    # for the shared-origin shadow sweep
+                                    # (traverse.shadow_shortlist): sample
+                                    # chunks stream against K triangles
+                                    # instead of visits×cluster candidates.
+                                    # 0 disables (stream whole clusters)
     bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
 
     @property

@@ -1,2 +1,1 @@
-from c_raytracer_tpu.textures.textures import (  # noqa: F401
-    texture_color, texture_color_soa)
+from c_raytracer_tpu.textures.textures import texture_color_soa  # noqa: F401

@@ -23,92 +23,8 @@ from c_raytracer_tpu.core.noise import simplex_noise
 from c_raytracer_tpu.scene import types as T
 
 
-def _uniform(color, *_):
-    return color
-
-
-def _checkerboard(point, color0, color1, scale):
-    """Parity of truncated scaled coords (material.c:159-166).
-
-    NOTE the reference uses C float->uint32 casts (truncation toward zero,
-    negative values wrap); replicated with an int32 truncation which matches
-    the parity of the uint32 cast for all finite inputs."""
-    sp = point * scale[..., None]
-    ip = sp.astype(jnp.int32)  # trunc toward zero, like (uint32_t) cast mod 2
-    parity = (ip[..., 0] + ip[..., 1] + ip[..., 2]) % 2
-    # C computes ((uint32)x+(uint32)y+(uint32)z) % 2u; for negative floats the
-    # uint32 cast is UB in C but gcc produces (uint32)(int32)x — parity equal.
-    return jnp.where((parity != 0)[..., None], color1, color0)
-
-
-def _brick(point, color0, color1, scale, mortar_width):
-    """Offset rows + mortar threshold (material.c:168-177)."""
-    sp = point * scale[..., None]
-    x = sp[..., 0]
-    y = sp[..., 1]
-    parity = (x.astype(jnp.int32) % 2).astype(jnp.float32)
-    y = y - parity * 0.5
-    is_mortar = ((x - jnp.floor(x) < mortar_width)
-                 | (y - jnp.floor(y) < mortar_width))
-    return jnp.where(is_mortar[..., None], color1, color0)
-
-
-def _noisy_periodic(point, color, gradient, feature_scale, noise_scale,
-                    freq_scale, func_id):
-    """angle = (x + noise(p*fs)*ns)*freq, envelope × gradient + base
-    (material.c:179-200)."""
-    sp = point * feature_scale[..., None]
-    n = simplex_noise(sp[..., 0], sp[..., 1], sp[..., 2])
-    angle = (point[..., 0] + n * noise_scale) * freq_scale
-    sin_a = jnp.sin(angle)
-    frac = angle - jnp.floor(angle)
-    env_sin = (1.0 + sin_a) * 0.5
-    env_saw = frac
-    env_tri = jnp.abs(2.0 * (frac - 0.5))
-    env_sq = (~jnp.signbit(sin_a)).astype(jnp.float32)
-    env = jnp.select(
-        [func_id == T.FUNC_SIN, func_id == T.FUNC_SAW,
-         func_id == T.FUNC_TRIANGLE, func_id == T.FUNC_SQUARE],
-        [env_sin, env_saw, env_tri, env_sq], env_sin)
-    return gradient * env[..., None] + color
-
-
-def texture_color(materials: T.Materials, tex_type, tex_func, mat_idx, point):
-    """Evaluate the texture color for hit points.
-
-    materials: Materials table; tex_type/tex_func: static int arrays (M,);
-    mat_idx: (R,) material index per hit; point: (R, 3) world hit points.
-    Returns (R, 3).
-    """
-    tt = jnp.asarray(np.asarray(tex_type, np.int32))[mat_idx]
-    fn = jnp.asarray(np.asarray(tex_func, np.int32))[mat_idx]
-    c0 = materials.tex_color[mat_idx]
-    c1 = materials.tex_color2[mat_idx]
-    scale = materials.tex_scale[mat_idx]
-    p1 = materials.tex_p1[mat_idx]
-    p2 = materials.tex_p2[mat_idx]
-
-    # static pruning: only evaluate texture families the scene actually uses
-    used = set(int(t) for t in tex_type)
-    out = c0  # uniform
-    if T.TEX_CHECKERBOARD in used:
-        out = jnp.where((tt == T.TEX_CHECKERBOARD)[..., None],
-                        _checkerboard(point, c0, c1, scale), out)
-    if T.TEX_BRICK in used:
-        out = jnp.where((tt == T.TEX_BRICK)[..., None],
-                        _brick(point, c0, c1, scale, p1), out)
-    if T.TEX_NOISY_PERIODIC in used:
-        out = jnp.where((tt == T.TEX_NOISY_PERIODIC)[..., None],
-                        _noisy_periodic(point, c0, c1, scale, p1, p2, fn), out)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# SoA hot path: statically unrolled over the material table
-# ---------------------------------------------------------------------------
-
-from c_raytracer_tpu.core import v3 as v3m  # noqa: E402
-from c_raytracer_tpu.core.v3 import V3  # noqa: E402
+from c_raytracer_tpu.core import v3 as v3m
+from c_raytracer_tpu.core.v3 import V3
 
 
 def texture_color_soa(materials: T.Materials, static, mat, point: V3) -> V3:

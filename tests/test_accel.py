@@ -150,6 +150,52 @@ class TestClusterTraversal:
                                    rtol=2e-3, atol=1e-5)
 
 
+class TestShadowShortlist:
+    """The per-pixel triangle shortlist (traverse.shadow_shortlist) must
+    reproduce the cluster-streaming shared-origin sweep exactly whenever K
+    covers every capsule-overlapping triangle."""
+
+    def test_matches_streamed_sweep(self):
+        scene = reorder_scene(_soup_scene(np.random.default_rng(8), nt=300))
+        ds = G.device_scene(scene.params, scene.static)
+        rng = np.random.default_rng(9)
+        P = 256
+        origin = v3m.from_aos(jnp.asarray(
+            rng.uniform(-2, 2, (P, 3)).astype(np.float32)))
+        egid = 0  # the sphere
+        lc, nchunks = 8, 3
+        # shared-origin contract: every sample segment runs from the pixel
+        # origin to a point on/in the emitter (the capsule cull assumes it)
+        origin_np = np.asarray(v3m.to_aos(origin))          # (P, 3)
+        c = np.asarray(scene.params.sphere_center[0])
+        r = float(np.asarray(scene.params.sphere_radius[0]))
+        pts = c + rng.uniform(-r, r, (nchunks, lc, P, 3)).astype(np.float32)
+        seg = pts - origin_np[None, None]
+        dist_np = np.linalg.norm(seg, axis=-1).astype(np.float32)
+        dirs = jnp.asarray(seg / dist_np[..., None])
+        dists = jnp.asarray(dist_np)
+
+        def run(cfg):
+            ix = make_intersector(ds, scene.static, cfg)
+            lo, hi = ix.emitter_bounds(egid)
+
+            def dirs_fn(i):
+                return v3m.from_aos(dirs[i]), dists[i]
+            return jax.jit(lambda: ix.shadow_query(
+                origin, lo, hi, dirs_fn, egid, nchunks, lc))()
+
+        base_cfg = RenderConfig(accel="cluster", bvh_cluster=16,
+                                bvh_visits=64)
+        b0, t0 = run(dataclasses.replace(base_cfg, bvh_shadow_shortlist=0))
+        # K = all triangles: the shortlist can never drop a candidate
+        b1, t1 = run(dataclasses.replace(base_cfg,
+                                         bvh_shadow_shortlist=512))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        for a, b in zip(t0, t1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+
 class TestReorder:
     def test_reorder_is_pure_permutation(self):
         scene = _soup_scene(np.random.default_rng(4), nt=100)
