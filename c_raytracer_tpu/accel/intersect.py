@@ -44,9 +44,16 @@ class Intersector:
     static: 'T.SceneStatic'
     cfg: 'RenderConfig'
     clusters: traverse.ClusterSet | None
+    # primitive-range sharding (SURVEY §2.5 row 3): triangle arrays split
+    # over a mesh axis; folds all-reduce (geometry/sharded.py)
+    shards: object | None = None
 
     def closest(self, o: V3, d: V3):
         """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,)."""
+        if self.shards is not None:
+            from c_raytracer_tpu.geometry import sharded
+            return sharded.closest_hit_sharded(self.ds, self.static,
+                                               self.shards, o, d)
         if self.clusters is None:
             return G.closest_hit_soa(self.ds, self.static, o, d,
                                      tri_chunk=self.cfg.tri_chunk)
@@ -70,6 +77,11 @@ class Intersector:
 
     def any_tint(self, o: V3, d: V3, max_dist, exclude_gid):
         """(blocked, tint V3) shadow query; component shapes arbitrary."""
+        if self.shards is not None:
+            from c_raytracer_tpu.geometry import sharded
+            return sharded.any_hit_tint_sharded(
+                self.ds, self.static, self.shards, o, d, max_dist,
+                exclude_gid)
         if self.clusters is None:
             return G.any_hit_tint_soa(self.ds, self.static, o, d, max_dist,
                                       exclude_gid,
@@ -209,7 +221,12 @@ class Intersector:
             lambda x: x.reshape((nchunks * chunk,) + x.shape[2:])[:n], out)
 
 
-def make_intersector(ds: G.DeviceScene, static, cfg) -> Intersector:
+def make_intersector(ds: G.DeviceScene, static, cfg,
+                     shards=None) -> Intersector:
+    if shards is not None:
+        # pr-sharded triangle folds replace the cluster sweep entirely
+        return Intersector(ds=ds, static=static, cfg=cfg, clusters=None,
+                           shards=shards)
     nt = ds.tri_v0.shape[0]
     mode = cfg.accel
     if mode == "auto":

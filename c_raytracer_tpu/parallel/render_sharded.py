@@ -30,9 +30,15 @@ from c_raytracer_tpu.scene import types as T
 def make_sharded_renderer(static: T.SceneStatic, cfg: RenderConfig,
                           resx: int, resy: int, mesh: Mesh, *,
                           jit: bool = True):
-    """Build ``fn(params, key) -> (image, z)`` sharded over the mesh."""
+    """Build ``fn(params, key) -> (image, z)`` sharded over the mesh.
+
+    Mesh axes: ``px`` pixel tiles, ``sp`` Monte-Carlo samples, and (when
+    present and >1) ``pr`` primitive ranges — the triangle arrays are
+    split into contiguous shards with all-reduced hit folds
+    (geometry/sharded.py, SURVEY §2.5 row 3) instead of replicated."""
     n_px = mesh.shape["px"]
     n_sp = mesh.shape["sp"]
+    n_pr = mesh.shape.get("pr", 1)
 
     if cfg.gi_model == GI_PATH and cfg.samples_per_pixel >= n_sp:
         spp_local = cfg.samples_per_pixel // n_sp
@@ -49,6 +55,12 @@ def make_sharded_renderer(static: T.SceneStatic, cfg: RenderConfig,
 
     def render_fn(params: T.SceneParams, key: jax.Array):
         ds = G.device_scene(params, static)
+        shards = None
+        if n_pr > 1 and static.n_triangles:
+            from c_raytracer_tpu.geometry import sharded
+            shards = sharded.shard_triangles(
+                ds, static, n_pr, tri_chunk=local_cfg.tri_chunk,
+                sharding=NamedSharding(mesh, P("pr")))
         o, d = primary_rays(params.camera, resx, resy)
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -59,7 +71,8 @@ def make_sharded_renderer(static: T.SceneStatic, cfg: RenderConfig,
         keys = jax.random.split(key, n_sp)
 
         def one_sample(k):
-            return render_wavefront(ds, static, local_cfg, k, o, d)
+            return render_wavefront(ds, static, local_cfg, k, o, d,
+                                    shards=shards)
 
         colors, zs = jax.vmap(one_sample)(keys)   # (n_sp, P, 3), (n_sp, P)
         colors = jax.lax.with_sharding_constraint(colors, sp_sharding)

@@ -198,9 +198,10 @@ def _stat_weights(static: T.SceneStatic, cfg: RenderConfig):
 # ---------------------------------------------------------------------------
 
 def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
-                  cfg: RenderConfig, key, o: V3, d: V3, *, with_stats: bool):
+                  cfg: RenderConfig, key, o: V3, d: V3, *, with_stats: bool,
+                  shards=None):
     P = jnp.shape(o.x)
-    ix = make_intersector(ds, static, cfg)
+    ix = make_intersector(ds, static, cfg, shards)
     rounds = min(cfg.rounds or (cfg.max_bounces + 1), cfg.max_bounces + 1)
     sh_w, gi_p, gi_s = _stat_weights(static, cfg)
 
@@ -332,9 +333,10 @@ def _stack_push(st: RayStack, push_mask, o: V3, d: V3, kr: V3, remaining,
 
 
 def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
-                  cfg: RenderConfig, key, o: V3, d: V3, *, with_stats: bool):
+                  cfg: RenderConfig, key, o: V3, d: V3, *, with_stats: bool,
+                  shards=None):
     P = jnp.shape(o.x)
-    ix = make_intersector(ds, static, cfg)
+    ix = make_intersector(ds, static, cfg, shards)
     rounds = cfg.resolved_rounds(True)
     sh_w, gi_p, gi_s = _stat_weights(static, cfg)
 
@@ -420,7 +422,8 @@ def _finish(color: V3, z, stats, with_stats):
 
 
 def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
-                     cfg: RenderConfig, key, o, d, *, with_stats=False):
+                     cfg: RenderConfig, key, o, d, *, with_stats=False,
+                     shards=None):
     """Render one tile of primary rays.
 
     o, d: (P, 3) primary origins/directions (AoS at the API seam).
@@ -434,5 +437,6 @@ def render_wavefront(ds: G.DeviceScene, static: T.SceneStatic,
     o, d = v3m.from_aos(o), v3m.from_aos(d)
     if any(static.is_transparent):
         return _render_stack(ds, static, cfg, key, o, d,
-                             with_stats=with_stats)
-    return _render_chain(ds, static, cfg, key, o, d, with_stats=with_stats)
+                             with_stats=with_stats, shards=shards)
+    return _render_chain(ds, static, cfg, key, o, d,
+                         with_stats=with_stats, shards=shards)

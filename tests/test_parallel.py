@@ -73,6 +73,94 @@ class TestShardedRender:
         assert float(jnp.max(img)) > 0
 
 
+class TestPrSharding:
+    """Primitive-range sharding (SURVEY §2.5 row 3, geometry/sharded.py):
+    triangle arrays split into contiguous per-device ranges, hit folds
+    all-reduced.  Equality targets per the module docstring: closest hit
+    and blocked bit-exact, kt tint to ~1 ulp."""
+
+    @pytest.fixture(scope="class")
+    def soup(self):
+        from test_accel import _soup_scene
+        return _soup_scene(np.random.default_rng(0))
+
+    def test_folds_match_replicated_bitexact(self, soup):
+        from test_accel import _rays
+        from c_raytracer_tpu.core import v3 as v3m
+        from c_raytracer_tpu.geometry import primitives as G
+        from c_raytracer_tpu.geometry import sharded
+
+        ds = G.device_scene(soup.params, soup.static)
+        o_a, d_a = _rays(np.random.default_rng(1), 257)
+        o, d = v3m.from_aos(o_a), v3m.from_aos(d_a)
+        sh = sharded.shard_triangles(ds, soup.static, 8, tri_chunk=512)
+
+        t1, g1, m1, n1 = jax.jit(
+            lambda: G.closest_hit_soa(ds, soup.static, o, d))()
+        t2, g2, m2, n2 = jax.jit(
+            lambda: sharded.closest_hit_sharded(ds, soup.static, sh, o, d))()
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(n1, c)), np.asarray(getattr(n2, c)))
+
+        md = jnp.full(o.x.shape, 5.0)
+        b1, tn1 = jax.jit(
+            lambda: G.any_hit_tint_soa(ds, soup.static, o, d, md, -1))()
+        b2, tn2 = jax.jit(
+            lambda: sharded.any_hit_tint_sharded(
+                ds, soup.static, sh, o, d, md, -1))()
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        for c in "xyz":
+            np.testing.assert_allclose(
+                np.asarray(getattr(tn1, c)), np.asarray(getattr(tn2, c)),
+                rtol=3e-7)
+
+    @needs_8_devices
+    def test_pr_arrays_partition_across_devices(self, soup):
+        """The stacked triangle arrays must actually live sharded: each of
+        the 8 pr devices holds exactly one (1, m) shard — the check
+        VERDICT r1 asked for (addressable-shard shapes shrink 1/N)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from c_raytracer_tpu.geometry import primitives as G
+        from c_raytracer_tpu.geometry import sharded
+
+        mesh = make_mesh(n_px=1, n_sp=1, n_pr=8)
+        ds = G.device_scene(soup.params, soup.static)
+        sh = jax.jit(
+            lambda: sharded.shard_triangles(
+                ds, soup.static, 8,
+                sharding=NamedSharding(mesh, P("pr"))))()
+        S, m = sh.eps.shape
+        assert S == 8
+        shards = sh.eps.addressable_shards
+        assert len(shards) == 8
+        for s in shards:
+            assert s.data.shape == (1, m), s.data.shape
+        assert sh.v0.x.addressable_shards[0].data.shape == (1, m)
+        assert sh.kt.addressable_shards[0].data.shape == (1, m, 3)
+
+    @needs_8_devices
+    def test_pr_render_matches_single(self, soup):
+        """Full wavefront render (stack mode: the soup has transparent
+        triangles) with px x pr sharding vs the single-device dense fold."""
+        cfg = RenderConfig(max_bounces=2, rounds=4, accel="none",
+                           light_chunk=4)
+        key = jax.random.PRNGKey(3)
+        single = make_renderer(soup.static, cfg, 24, 24)
+        img0, z0 = single(soup.params, key)
+
+        mesh = make_mesh(n_px=2, n_sp=1, n_pr=4)
+        sharded_fn = make_sharded_renderer(soup.static, cfg, 24, 24, mesh)
+        img1, z1 = sharded_fn(soup.params, key)
+        np.testing.assert_allclose(
+            np.asarray(img0), np.asarray(img1), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(z0), np.asarray(z1), atol=1e-5)
+
+
 @needs_8_devices
 class TestTrainStep:
     def test_step_moves_params_finite(self, scene):
