@@ -100,8 +100,11 @@ def quantize_rgb8(image: np.ndarray) -> np.ndarray:
     """C clamp order (image.c:96-98): fmaxf(fminf(v·255, 255), 0) — both
     fminf and fmaxf ignore NaN operands, so NaN quantizes to 255."""
     img = np.asarray(image, np.float32)
-    v = img * np.float32(255.0)
-    v = np.where(np.isnan(v), np.float32(255.0), np.clip(v, 0.0, 255.0))
+    # clip BEFORE the multiply: huge finite radiance values overflowed the
+    # f32 product (RuntimeWarning); clip(x,0,1)*255 == clamp(x*255,0,255)
+    # for every non-NaN input, and NaN still maps to 255 like the C clamp
+    v = np.clip(img, 0.0, 1.0) * np.float32(255.0)
+    v = np.where(np.isnan(img), np.float32(255.0), v)
     return v.astype(np.uint8)
 
 
