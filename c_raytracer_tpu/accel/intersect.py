@@ -35,6 +35,8 @@ if TYPE_CHECKING:  # avoid the accel <-> render import cycle at runtime
 # arrays once per chunk; clusters pay a gather per ray per visit)
 AUTO_THRESHOLD = 512
 
+INT32_MAX = np.int32(np.iinfo(np.int32).max)
+
 
 @dataclasses.dataclass(frozen=True)
 class Intersector:
@@ -43,6 +45,8 @@ class Intersector:
     ds: G.DeviceScene
     static: 'T.SceneStatic'
     cfg: 'RenderConfig'
+    # replicated ClusterSet, or (with shards) a pr-stacked ClusterSet whose
+    # arrays carry a leading shard axis — each device sweeps its own range
     clusters: traverse.ClusterSet | None
     # primitive-range sharding (SURVEY §2.5 row 3): triangle arrays split
     # over a mesh axis; folds all-reduce (geometry/sharded.py)
@@ -50,7 +54,7 @@ class Intersector:
 
     def closest(self, o: V3, d: V3):
         """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,)."""
-        if self.shards is not None:
+        if self.shards is not None and self.clusters is None:
             from c_raytracer_tpu.geometry import sharded
             return sharded.closest_hit_sharded(self.ds, self.static,
                                                self.shards, o, d)
@@ -60,11 +64,15 @@ class Intersector:
         t, gid, mat, n = G.closest_hit_soa(
             self.ds, self.static, o, d, include_triangles=False)
         o2, d2 = v3m.to_aos(o), v3m.to_aos(d)
-        out = self._chunked(
-            lambda args: traverse.closest_hit_clusters(
-                self.clusters, args[0], args[1], tuple(args[2]),
-                visits=self.cfg.bvh_visits),
-            (o2, d2, [t, gid, v3m.to_aos(n)]), o2.shape[0])
+        if self.shards is not None:
+            sweep = self._closest_clusters_sharded
+        else:
+            def sweep(args):
+                return traverse.closest_hit_clusters(
+                    self.clusters, args[0], args[1], tuple(args[2]),
+                    visits=self.cfg.bvh_visits)
+        out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
+                            o2.shape[0])
         t, gid, n_aos = out
         # triangle winners need a material gather (the only one on this
         # path; spheres/planes carried theirs statically)
@@ -75,9 +83,37 @@ class Intersector:
         mat = jnp.where(is_tri, mat_tri, mat)
         return t, gid, mat, v3m.from_aos(n_aos)
 
+    def _closest_clusters_sharded(self, args):
+        """Per-shard sorted cluster sweep (vmapped over the pr axis), then
+        the cross-shard min-t fold of geometry/sharded.py: global min over
+        t, ties to the lowest global prim id, winner data via masked sums
+        (psums under SPMD), then challenge the sphere/plane best with the
+        replicated fold's strictly-smaller rule (accel.c:328)."""
+        o2, d2, (bt, bg, bn_aos) = args
+        R = o2.shape[0]
+
+        def per_shard(cs):
+            best0 = (jnp.full((R,), traverse.FLT_MAX),
+                     jnp.full((R,), INT32_MAX, jnp.int32),
+                     jnp.zeros((R, 3), jnp.float32))
+            return traverse.closest_hit_clusters(
+                cs, o2, d2, best0, visits=self.cfg.bvh_visits)
+
+        ts, gs, nv = jax.vmap(per_shard)(self.clusters)   # (S, R, ...)
+        tm = ts.min(axis=0)
+        gcand = jnp.where(ts == tm[None], gs, INT32_MAX)
+        gm = gcand.min(axis=0)
+        win = (ts == tm[None]) & (gs == gm[None]) \
+            & (tm < traverse.FLT_MAX)[None]
+        nw = jnp.sum(win[..., None].astype(jnp.float32) * nv, axis=0)
+        better = tm < bt                                   # tris fold last
+        return (jnp.where(better, tm, bt),
+                jnp.where(better, gm, bg),
+                jnp.where(better[:, None], nw, bn_aos))
+
     def any_tint(self, o: V3, d: V3, max_dist, exclude_gid):
         """(blocked, tint V3) shadow query; component shapes arbitrary."""
-        if self.shards is not None:
+        if self.shards is not None and self.clusters is None:
             from c_raytracer_tpu.geometry import sharded
             return sharded.any_hit_tint_sharded(
                 self.ds, self.static, self.shards, o, d, max_dist,
@@ -94,15 +130,40 @@ class Intersector:
         d2 = v3m.to_aos(d).reshape(-1, 3)
         ex = jnp.broadcast_to(jnp.asarray(exclude_gid, jnp.int32),
                               lead).reshape(-1)
+        if self.shards is not None:
+            sweep = self._any_tint_clusters_sharded
+        else:
+            def sweep(args):
+                return traverse.any_hit_tint_clusters(
+                    self.clusters, args[0], args[1], args[2], args[3],
+                    tuple(args[4]),
+                    visits=self.cfg.resolved_shadow_visits)
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
-        out = self._chunked(
-            lambda args: traverse.any_hit_tint_clusters(
-                self.clusters, args[0], args[1], args[2], args[3],
-                tuple(args[4]), visits=self.cfg.resolved_shadow_visits),
-            flat, flat[0].shape[0])
+        out = self._chunked(sweep, flat, flat[0].shape[0])
         blocked, tint = out
         return (blocked.reshape(lead), v3m.from_aos(tint.reshape(lead + (3,))))
+
+    def _any_tint_clusters_sharded(self, args):
+        """Shadow fold with per-shard cluster sweeps: per-shard
+        blocked/tint accumulators start empty, combine by any-reduce and
+        ordered tint product over the (static, small) shard axis — the
+        bit-stability contract of geometry/sharded.any_hit_tint_sharded —
+        then merge with the sphere/plane pre-pass accumulators."""
+        o2, d2, md, ex, (blocked, tint) = args
+        R = o2.shape[0]
+
+        def per_shard(cs):
+            acc0 = (jnp.zeros((R,), bool), jnp.ones((R, 3), jnp.float32))
+            return traverse.any_hit_tint_clusters(
+                cs, o2, d2, md, ex, acc0,
+                visits=self.cfg.resolved_shadow_visits)
+
+        blk_s, tint_s = jax.vmap(per_shard)(self.clusters)  # (S, R[, 3])
+        blocked = blocked | jnp.any(blk_s, axis=0)
+        for k in range(blk_s.shape[0]):
+            tint = tint * tint_s[k]
+        return blocked, tint
 
     @property
     def has_clusters(self) -> bool:
@@ -139,9 +200,6 @@ class Intersector:
 
         # cluster sweep over the triangles, AoS internals
         origin_aos = v3m.to_aos(origin)
-        cids, ok = traverse.shadow_visit_order(
-            self.clusters, origin_aos, emitter_lo, emitter_hi,
-            self.cfg.resolved_shadow_visits)
 
         def cached_dirs(chunk_i):
             # traverse expects (P, lc, ...) AoS
@@ -153,33 +211,64 @@ class Intersector:
         blocked_pm = jnp.moveaxis(blocked, 2, 0)             # (P, nc, lc)
         remat = getattr(self.cfg, "remat", True)
         k_short = getattr(self.cfg, "bvh_shadow_shortlist", 0)
-        if k_short:
-            # triangle-level shortlist: score once per pixel, stream the
-            # sample chunks against K triangles instead of visits×C
-            ecenter = 0.5 * (emitter_lo + emitter_hi)
-            erad = 0.5 * jnp.linalg.norm(emitter_hi - emitter_lo)
-            sblk, sgid, lane_ok = traverse.shadow_shortlist(
-                self.clusters, origin_aos, cids, ok, ecenter, erad, k_short)
+        ecenter = 0.5 * (emitter_lo + emitter_hi)
+        erad = 0.5 * jnp.linalg.norm(emitter_hi - emitter_lo)
 
-            def sweep(acc):
+        def sweep_one(cs, acc):
+            """Visit list + (shortlist) sweep for ONE ClusterSet — run
+            directly on the replicated set, vmapped over the shard axis
+            of a pr-stacked set."""
+            cids, ok = traverse.shadow_visit_order(
+                cs, origin_aos, emitter_lo, emitter_hi,
+                self.cfg.resolved_shadow_visits)
+            if k_short:
+                # triangle-level shortlist: score once per pixel, stream
+                # sample chunks against K triangles instead of visits×C
+                sblk, sgid, lane_ok = traverse.shadow_shortlist(
+                    cs, origin_aos, cids, ok, ecenter, erad, k_short)
                 return traverse.any_hit_tint_shortlist(
-                    self.clusters, origin_aos, sblk, sgid, lane_ok,
+                    cs, origin_aos, sblk, sgid, lane_ok,
                     cached_dirs, nchunks, acc, remat=remat)
-        else:
-            def sweep(acc):
-                return traverse.any_hit_tint_shared(
-                    self.clusters, origin_aos, cids, ok, cached_dirs,
-                    nchunks, acc, remat=remat)
+            return traverse.any_hit_tint_shared(
+                cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
+                remat=remat)
 
-        if not has_transp:
-            blocked2 = sweep(blocked_pm)
-            # saved residual: backward skips the whole sweep (core/remat.py)
-            blocked2 = remat_mod.name_occlusion(blocked2)
-            return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
-        tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
-        # (nc, lc, P, 3) -> (P, nc, lc, 3)
-        blocked2, tint2 = sweep((blocked_pm, tint_pm))
+        if self.shards is not None:
+            P = origin_aos.shape[0]
+            nc = blocked_pm.shape[1]
+            lc = blocked_pm.shape[2]
+
+            def per_shard(cs):
+                b0 = jnp.zeros((P, nc, lc), bool)
+                if not has_transp:
+                    return sweep_one(cs, b0)
+                t0 = jnp.ones((P, nc, lc, 3), jnp.float32)
+                return sweep_one(cs, (b0, t0))
+
+            acc_s = jax.vmap(per_shard)(self.clusters)
+            if not has_transp:
+                blocked2 = blocked_pm | jnp.any(acc_s, axis=0)
+            else:
+                blk_s, tint_s = acc_s
+                blocked2 = blocked_pm | jnp.any(blk_s, axis=0)
+                tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
+                # ordered product over the static shard count (the
+                # bit-stability contract of geometry/sharded.py)
+                for k in range(blk_s.shape[0]):
+                    tint_pm = tint_pm * tint_s[k]
+                tint2 = tint_pm
+        else:
+            if not has_transp:
+                blocked2 = sweep_one(self.clusters, blocked_pm)
+            else:
+                tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
+                blocked2, tint2 = sweep_one(self.clusters,
+                                            (blocked_pm, tint_pm))
+
+        # saved residual: backward skips the whole sweep (core/remat.py)
         blocked2 = remat_mod.name_occlusion(blocked2)
+        if not has_transp:
+            return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
         blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
         tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)
         return blocked_out, (tint_out[..., 0], tint_out[..., 1],
@@ -223,14 +312,19 @@ class Intersector:
 
 def make_intersector(ds: G.DeviceScene, static, cfg,
                      shards=None) -> Intersector:
-    if shards is not None:
-        # pr-sharded triangle folds replace the cluster sweep entirely
-        return Intersector(ds=ds, static=static, cfg=cfg, clusters=None,
-                           shards=shards)
     nt = ds.tri_v0.shape[0]
     mode = cfg.accel
     if mode == "auto":
         mode = "cluster" if nt >= AUTO_THRESHOLD else "none"
+    if shards is not None:
+        # pr-sharded: pack per-shard clusters so each device runs the
+        # sorted sweep over its own contiguous Morton range (brute range
+        # folds only for small scenes / accel="none")
+        sclusters = (traverse.pack_clusters_sharded(shards, static,
+                                                    cfg.bvh_cluster)
+                     if (mode == "cluster" and nt) else None)
+        return Intersector(ds=ds, static=static, cfg=cfg,
+                           clusters=sclusters, shards=shards)
     clusters = (traverse.pack_clusters(ds, static, cfg.bvh_cluster)
                 if (mode == "cluster" and nt) else None)
     return Intersector(ds=ds, static=static, cfg=cfg, clusters=clusters)

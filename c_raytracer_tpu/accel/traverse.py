@@ -65,21 +65,25 @@ class ClusterSet:
 
     @property
     def has_transp(self) -> bool:
-        """Static: whether kt/transp rows are packed (shape-derived)."""
-        return self.blk.shape[1] == _NF_TRANSP
+        """Static: whether kt/transp rows are packed (shape-derived).
+
+        Uses the second-to-last axis so it also works on a pr-stacked set
+        whose ``blk`` carries a leading shard axis (S, K, F, C)."""
+        return self.blk.shape[-2] == _NF_TRANSP
 
 
-def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
-    """Pack the (already device-resident) triangle arrays into clusters of
-    ``cluster_size`` and re-fit cluster AABBs from the current vertices.
+def _pack_from_arrays(v0, e1, e2, n, eps, valid, kt, transp, C: int):
+    """Packing core shared by the replicated and pr-sharded builds.
 
-    Padding lanes get eps=1 which makes Möller-Trumbore's parallel test
-    (|a| < eps with a == 0) reject them unconditionally."""
-    C = cluster_size
-    ns = static.n_spheres
-    nt = ds.tri_v0.shape[0]
-    K = max(1, -(-nt // C))
-    pad = K * C - nt
+    v0/e1/e2/n: (M, 3); eps/valid: (M,); kt: (M, 3) | None; transp: (M,)
+    bool | None.  Rows where ``valid`` is False are dead padding (their
+    eps is forced to 1 so Möller-Trumbore's parallel test rejects them and
+    their bounding radius to -1 so no capsule overlaps them).  Pads to a
+    whole number of clusters of C.  Returns (blk, lo, hi, flat, bound) —
+    vmappable over a leading shard axis."""
+    M = v0.shape[0]
+    K = max(1, -(-M // C))
+    pad = K * C - M
 
     def p(x, fill):
         if pad:
@@ -87,24 +91,15 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
                 [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
         return x
 
-    v0, e1, e2 = p(ds.tri_v0, 0.0), p(ds.tri_e1, 0.0), p(ds.tri_e2, 0.0)
-    n = p(ds.tri_n, 0.0)
-    eps = p(ds.tri_eps, 1.0)
+    v0, e1, e2, n = p(v0, 0.0), p(e1, 0.0), p(e2, 0.0), p(n, 0.0)
+    eps = jnp.where(p(valid, False), p(eps, 1.0), 1.0)
+    valid = p(valid, False)
 
     rows = [v0, e1, e2, n, eps[:, None]]
-    mat_np = np.zeros(K * C, np.int32)
-    mat_np[:nt] = np.asarray(static.material_index[ns:ns + nt], np.int32)
-    transp_np = np.asarray(static.is_transparent, bool)[mat_np]
-    transp_np[nt:] = False
     nfields = _NF_OPAQUE
-    if transp_np.any():
-        # kt per triangle: differentiable gather with *static* indices,
-        # once per pack (P-independent, so cost is negligible).  NOT a
-        # one-hot matmul: the TPU MXU truncates f32 operands to bfloat16
-        # at default precision, which quantized kt (0.6 -> 0.6015625) and
-        # broke exact brute-force parity of the tint product on hardware.
-        kt = ds.materials.kt[jnp.asarray(mat_np)]          # (K*C, 3)
-        rows += [kt, jnp.asarray(transp_np, jnp.float32)[:, None]]
+    if kt is not None:
+        tf = jnp.where(valid, p(transp, False), False)
+        rows += [p(kt, 0.0), tf.astype(jnp.float32)[:, None]]
         nfields = _NF_TRANSP
 
     flat = jnp.concatenate(rows, axis=1)                # (K*C, F)
@@ -116,10 +111,9 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
     rad = jnp.sqrt(jnp.maximum(jnp.maximum(
         jnp.sum((v0 - cen) ** 2, -1), jnp.sum((v1 - cen) ** 2, -1)),
         jnp.sum((v2 - cen) ** 2, -1)))
-    valid_tri = jnp.arange(K * C) < nt
-    rad = jnp.where(valid_tri, rad + eps, -1.0)   # eps-inflated like the
-    #                                               cluster AABBs; pads never
-    #                                               overlap any capsule
+    rad = jnp.where(valid, rad + eps, -1.0)   # eps-inflated like the
+    #                                           cluster AABBs; pads never
+    #                                           overlap any capsule
     bound = jax.lax.stop_gradient(
         jnp.concatenate([cen, rad[:, None]], -1).reshape(K, C, 4))
 
@@ -127,14 +121,79 @@ def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
     # reduced per cluster; inflated by the cluster's max epsilon (the
     # reference inflates node slabs by node->epsilon, accel.c:120-156).
     verts = jnp.stack([v0, v0 + e1, v0 + e2], axis=1)   # (K*C, 3, 3)
-    valid = (jnp.arange(K * C) < nt)[:, None]
-    vmin = jnp.where(valid, verts.min(1), FLT_MAX).reshape(K, C, 3).min(1)
-    vmax = jnp.where(valid, verts.max(1), -FLT_MAX).reshape(K, C, 3).max(1)
-    ceps = jnp.where(valid[:, 0], eps, 0.0).reshape(K, C).max(1)[:, None]
+    vm = valid[:, None]
+    vmin = jnp.where(vm, verts.min(1), FLT_MAX).reshape(K, C, 3).min(1)
+    vmax = jnp.where(vm, verts.max(1), -FLT_MAX).reshape(K, C, 3).max(1)
+    ceps = jnp.where(valid, eps, 0.0).reshape(K, C).max(1)[:, None]
     lo = jax.lax.stop_gradient(vmin - ceps)
     hi = jax.lax.stop_gradient(vmax + ceps)
+    return blk, lo, hi, flat, bound
+
+
+def pack_clusters(ds, static, cluster_size: int) -> ClusterSet:
+    """Pack the (already device-resident) triangle arrays into clusters of
+    ``cluster_size`` and re-fit cluster AABBs from the current vertices.
+
+    Padding lanes get eps=1 which makes Möller-Trumbore's parallel test
+    (|a| < eps with a == 0) reject them unconditionally."""
+    ns = static.n_spheres
+    nt = ds.tri_v0.shape[0]
+    mat_np = np.asarray(static.material_index[ns:ns + nt], np.int32)
+    transp_np = np.asarray(static.is_transparent, bool)[mat_np]
+    kt = None
+    transp = None
+    if transp_np.any():
+        # kt per triangle: differentiable gather with *static* indices,
+        # once per pack (P-independent, so cost is negligible).  NOT a
+        # one-hot matmul: the TPU MXU truncates f32 operands to bfloat16
+        # at default precision, which quantized kt (0.6 -> 0.6015625) and
+        # broke exact brute-force parity of the tint product on hardware.
+        kt = ds.materials.kt[jnp.asarray(mat_np)]          # (nt, 3)
+        transp = jnp.asarray(transp_np)
+
+    blk, lo, hi, flat, bound = _pack_from_arrays(
+        ds.tri_v0, ds.tri_e1, ds.tri_e2, ds.tri_n, ds.tri_eps,
+        jnp.ones(nt, bool), kt, transp, cluster_size)
     return ClusterSet(blk=blk, lo=lo, hi=hi,
                       gid0=jnp.int32(ns), flat=flat, bound=bound)
+
+
+def pack_clusters_sharded(sh, static, cluster_size: int) -> ClusterSet:
+    """Per-shard cluster pack: TriShards (geometry/sharded.py) → a stacked
+    ClusterSet whose every array carries a leading shard axis.
+
+    Each shard's contiguous triangle range (already Morton-ordered by
+    reorder_scene — any contiguous slice of a Morton order is spatially
+    tight) is packed independently, so the pr-sharded intersector can run
+    the SAME sorted cluster sweep per shard (vmapped over the shard axis;
+    under SPMD each device sweeps only its own range) instead of the
+    brute-force range fold.  gid stays global: shard s covers global prim
+    ids [ns + s·m, ns + (s+1)·m), so gid0 is per-shard.  The TriShards
+    sharding constraint is re-applied to every stacked output so XLA keeps
+    the packed blocks on their owner devices."""
+    S, m = sh.eps.shape
+    v0 = jnp.stack([sh.v0.x, sh.v0.y, sh.v0.z], -1)        # (S, m, 3)
+    e1 = jnp.stack([sh.e1.x, sh.e1.y, sh.e1.z], -1)
+    e2 = jnp.stack([sh.e2.x, sh.e2.y, sh.e2.z], -1)
+    n = jnp.stack([sh.n.x, sh.n.y, sh.n.z], -1)
+    valid = sh.gid >= 0
+
+    if sh.kt is not None:
+        fn = lambda *a: _pack_from_arrays(*a, cluster_size)  # noqa: E731
+        blk, lo, hi, flat, bound = jax.vmap(fn)(
+            v0, e1, e2, n, sh.eps, valid, sh.kt, sh.transp)
+    else:
+        fn = lambda *a: _pack_from_arrays(                   # noqa: E731
+            *a, None, None, cluster_size)
+        blk, lo, hi, flat, bound = jax.vmap(fn)(
+            v0, e1, e2, n, sh.eps, valid)
+
+    ns = static.n_spheres
+    gid0 = jnp.int32(ns) + jnp.arange(S, dtype=jnp.int32) * jnp.int32(m)
+    con = (lambda a: jax.lax.with_sharding_constraint(a, sh.sharding)
+           ) if sh.sharding is not None else (lambda a: a)
+    return ClusterSet(blk=con(blk), lo=con(lo), hi=con(hi),
+                      gid0=con(gid0), flat=con(flat), bound=con(bound))
 
 
 def _visit_order(cs: ClusterSet, o, d, visits: int):
@@ -143,7 +202,7 @@ def _visit_order(cs: ClusterSet, o, d, visits: int):
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     K = cs.lo.shape[0]
-    V = min(visits, K)
+    V = max(1, min(visits, K))   # visits=0 would make the sweep a 0-scan
     # robust slab test (Williams et al., accel.c:111-158): div-by-zero
     # yields ±inf which min/max handle; 0*inf NaN is avoided by nudging d
     dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
@@ -157,6 +216,86 @@ def _visit_order(cs: ClusterSet, o, d, visits: int):
     key = jnp.where(overlap, entry, FLT_MAX)
     neg_top, idx = jax.lax.top_k(-key, V)                 # (R, V)
     return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top
+
+
+def spill_counts(cs: ClusterSet, o, d, visits: int):
+    """Diagnostic: per-ray count of slab-overlapping clusters and how many
+    exceeded the visit budget (the closest-hit sweep's truncation).
+
+    The closest sweep prunes sorted visits by best-so-far t, so spill > 0
+    does NOT always mean a wrong hit — but spill == 0 *proves* the sweep
+    was exhaustive.  Used by accel/validate.py's spill policy."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    V = min(visits, cs.lo.shape[0])
+    dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv = 1.0 / dd
+    t1 = (cs.lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t2 = (cs.hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.minimum(t1, t2).max(-1)
+    tmax = jnp.maximum(t1, t2).min(-1)
+    overlap = tmax >= jnp.maximum(tmin, 0.0)
+    n = jnp.sum(overlap, axis=-1)
+    return n, jnp.maximum(n - V, 0)
+
+
+def shadow_spill_counts(cs: ClusterSet, origin, hull_lo, hull_hi,
+                        visits: int, k_short: int):
+    """Diagnostic: per-pixel spill of the shared-origin shadow sweep.
+
+    Returns (cluster_spill, tri_spill): capsule-overlapping clusters
+    beyond the visit budget, and capsule-overlapping *triangles* beyond
+    the shortlist K (0 when the shortlist is disabled).  Unlike closest
+    hits, the shadow tint product needs EVERY transparent blocker along
+    the segment, so any spill on a transparent scene can lose kt factors
+    (light leaks — measured 2× radiance error on scene5 at the round-2
+    defaults)."""
+    origin = jax.lax.stop_gradient(origin)
+    K = cs.lo.shape[0]
+    V = min(visits, K)
+    center = 0.5 * (cs.lo + cs.hi)
+    half_diag = 0.5 * jnp.linalg.norm(cs.hi - cs.lo, axis=-1)
+    ecenter = 0.5 * (hull_lo + hull_hi)
+    erad = 0.5 * jnp.linalg.norm(hull_hi - hull_lo)
+    seg = ecenter[None] - origin
+    seglen2 = jnp.maximum(jnp.sum(seg * seg, -1), 1e-30)
+    rel = center[None, :, :] - origin[:, None, :]
+    s = jnp.clip(jnp.einsum("pkc,pc->pk", rel, seg) / seglen2[:, None],
+                 0.0, 1.0)
+    closest = s[..., None] * seg[:, None, :]
+    d2 = jnp.sum((rel - closest) ** 2, -1)
+    margin = half_diag[None] + s * erad
+    overlap = d2 <= margin * margin
+    n_cl = jnp.sum(overlap, axis=-1)
+    cl_spill = jnp.maximum(n_cl - V, 0)
+
+    if not k_short:
+        return cl_spill, jnp.zeros_like(cl_spill)
+
+    # triangle-level: same capsule test as shadow_shortlist, over ALL
+    # triangles' bounding spheres (not just the visited clusters' — this
+    # measures the true candidate count the shortlist competes for)
+    C = cs.bound.shape[1]
+    b = cs.bound.reshape(K * C, 4)
+    cen, rad = b[:, :3], b[:, 3]
+    seglen = jnp.sqrt(seglen2)
+    rx = cen[None, :, 0] - origin[:, None, 0]
+    ry = cen[None, :, 1] - origin[:, None, 1]
+    rz = cen[None, :, 2] - origin[:, None, 2]
+    dot = (rx * seg[:, None, 0] + ry * seg[:, None, 1]
+           + rz * seg[:, None, 2])
+    st = jnp.clip(dot / seglen2[:, None], 0.0, 1.0)
+    cx = rx - st * seg[:, None, 0]
+    cy = ry - st * seg[:, None, 1]
+    cz = rz - st * seg[:, None, 2]
+    td2 = cx * cx + cy * cy + cz * cz
+    s_hi = jnp.clip((dot + rad[None] * seglen[:, None]) / seglen2[:, None],
+                    0.0, 1.0)
+    tmargin = rad[None] + s_hi * erad
+    t_overlap = (td2 <= tmargin * tmargin) & (rad[None] >= 0)
+    n_tri = jnp.sum(t_overlap, axis=-1)
+    tri_spill = jnp.maximum(n_tri - min(k_short, V * C), 0)
+    return cl_spill, tri_spill
 
 
 def _mt_block(blk, o, d):
@@ -285,7 +424,7 @@ def shadow_visit_order(cs: ClusterSet, origin, hull_lo, hull_hi,
     the origin.  Returns (cids (P, V), ok (P, V))."""
     origin = jax.lax.stop_gradient(origin)
     K = cs.lo.shape[0]
-    V = min(visits, K)
+    V = max(1, min(visits, K))   # visits=0 would make the sweep a 0-scan
     center = 0.5 * (cs.lo + cs.hi)                         # (K, 3)
     half_diag = 0.5 * jnp.linalg.norm(cs.hi - cs.lo, axis=-1)  # (K,)
     ecenter = 0.5 * (hull_lo + hull_hi)

@@ -67,6 +67,12 @@ class TriShards:
     kt: jax.Array | None      # (n_shards, m, 3) per-triangle kt rows
     transp: jax.Array | None  # (n_shards, m) bool
     chunk: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # the NamedSharding placing the shard axis (hashable jit-constant);
+    # re-applied by downstream re-packers (accel/traverse.py
+    # pack_clusters_sharded) so derived stacked arrays stay on their
+    # owner devices
+    sharding: object | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def shard_triangles(ds: G.DeviceScene, static, n_shards: int, *,
@@ -128,7 +134,8 @@ def shard_triangles(ds: G.DeviceScene, static, n_shards: int, *,
         v0=pv3(ds.tri_v0), e1=pv3(ds.tri_e1), e2=pv3(ds.tri_e2),
         n=pv3(ds.tri_n),
         eps=con(jnp.asarray(eps_np)), mat=con(jnp.asarray(mat_np)),
-        gid=con(jnp.asarray(gid_np)), kt=kt, transp=transp, chunk=C)
+        gid=con(jnp.asarray(gid_np)), kt=kt, transp=transp, chunk=C,
+        sharding=sharding)
 
 
 def _scan_chunks(sh: TriShards, fields):

@@ -21,11 +21,15 @@ from c_raytracer_tpu.scene import types as T
 
 def make_train_step(static: T.SceneStatic, cfg: RenderConfig,
                     resx: int, resy: int, mesh: Mesh, *,
-                    learning_rate: float = 1e-2, jit: bool = True):
+                    learning_rate: float = 1e-2, jit: bool = True,
+                    with_grads: bool = False):
     """Build ``step(params, key, target) -> (new_params, loss)``.
 
     Plain SGD on the SceneParams pytree; swap in optax by taking
-    ``loss_and_grad`` below.
+    ``loss_and_grad`` below.  ``with_grads=True`` appends the raw gradient
+    pytree to the return value — post-SGD float motion is NOT a usable
+    pass criterion (tiny grads underflow the f32 ulp of O(1) params), so
+    gates and tests must assert on the gradients themselves.
     """
     renderer = make_sharded_renderer(static, cfg, resx, resy, mesh,
                                      jit=False)
@@ -40,12 +44,15 @@ def make_train_step(static: T.SceneStatic, cfg: RenderConfig,
         loss, grads = loss_and_grad(params, key, target)
         lr = jnp.float32(learning_rate)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        if with_grads:
+            return new_params, loss, grads
         return new_params, loss
 
     if not jit:
         return step
     replicated = NamedSharding(mesh, P())
-    return jax.jit(step, out_shardings=((None, replicated)))
+    outs = (None, replicated, None) if with_grads else (None, replicated)
+    return jax.jit(step, out_shardings=outs)
 
 
 def loss_and_grad_fn(static, cfg, resx, resy, mesh):
