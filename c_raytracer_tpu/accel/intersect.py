@@ -70,7 +70,7 @@ class Intersector:
             def sweep(args):
                 return traverse.closest_hit_clusters(
                     self.clusters, args[0], args[1], tuple(args[2]),
-                    visits=self.cfg.bvh_visits)
+                    visits=self._visits)
         out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
                             o2.shape[0])
         t, gid, n_aos = out
@@ -97,7 +97,7 @@ class Intersector:
                      jnp.full((R,), INT32_MAX, jnp.int32),
                      jnp.zeros((R, 3), jnp.float32))
             return traverse.closest_hit_clusters(
-                cs, o2, d2, best0, visits=self.cfg.bvh_visits)
+                cs, o2, d2, best0, visits=self._visits)
 
         ts, gs, nv = jax.vmap(per_shard)(self.clusters)   # (S, R, ...)
         tm = ts.min(axis=0)
@@ -137,7 +137,7 @@ class Intersector:
                 return traverse.any_hit_tint_clusters(
                     self.clusters, args[0], args[1], args[2], args[3],
                     tuple(args[4]),
-                    visits=self.cfg.resolved_shadow_visits)
+                    visits=self._shadow_visits)
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(sweep, flat, flat[0].shape[0])
@@ -157,13 +157,46 @@ class Intersector:
             acc0 = (jnp.zeros((R,), bool), jnp.ones((R, 3), jnp.float32))
             return traverse.any_hit_tint_clusters(
                 cs, o2, d2, md, ex, acc0,
-                visits=self.cfg.resolved_shadow_visits)
+                visits=self._shadow_visits)
 
         blk_s, tint_s = jax.vmap(per_shard)(self.clusters)  # (S, R[, 3])
         blocked = blocked | jnp.any(blk_s, axis=0)
         for k in range(blk_s.shape[0]):
             tint = tint * tint_s[k]
         return blocked, tint
+
+    @property
+    def _visits(self) -> int:
+        """Closest-hit visit budget — scene-aware auto (config.py):
+        transparent scenes carry inside-mesh rays that overlap many
+        zero-entry clusters and need a larger budget."""
+        return self.cfg.resolved_visits(any(self.static.is_transparent))
+
+    @property
+    def _shadow_visits(self) -> int:
+        """Shadow visit budget — scene-aware auto (config.py): transparent
+        scenes need every kt blocker along the segment, so their default
+        is much higher (the scene5 22× light-leak fix)."""
+        return self.cfg.resolved_shadow_visits(
+            any(self.static.is_transparent))
+
+    @property
+    def _shadow_shortlist(self) -> int:
+        """Shortlist K — auto-disabled for transparent scenes (config.py):
+        nearest-to-origin scoring drops far-along-segment kt factors."""
+        return self.cfg.resolved_shadow_shortlist(
+            any(self.static.is_transparent))
+
+    @property
+    def use_shared_shadows(self) -> bool:
+        """Whether soft shadows use the shared-origin capsule sweep
+        (shadow_query) or fall back to per-sample any_tint visit lists —
+        config.resolved_shadow_mode; transparent scenes default per_ray
+        (exact kt products at small budgets)."""
+        if self.clusters is None:
+            return False
+        return self.cfg.resolved_shadow_mode(
+            any(self.static.is_transparent)) == "shared"
 
     @property
     def has_clusters(self) -> bool:
@@ -210,7 +243,7 @@ class Intersector:
 
         blocked_pm = jnp.moveaxis(blocked, 2, 0)             # (P, nc, lc)
         remat = getattr(self.cfg, "remat", True)
-        k_short = getattr(self.cfg, "bvh_shadow_shortlist", 0)
+        k_short = self._shadow_shortlist
         ecenter = 0.5 * (emitter_lo + emitter_hi)
         erad = 0.5 * jnp.linalg.norm(emitter_hi - emitter_lo)
 
@@ -220,7 +253,7 @@ class Intersector:
             of a pr-stacked set."""
             cids, ok = traverse.shadow_visit_order(
                 cs, origin_aos, emitter_lo, emitter_hi,
-                self.cfg.resolved_shadow_visits)
+                self._shadow_visits)
             if k_short:
                 # triangle-level shortlist: score once per pixel, stream
                 # sample chunks against K triangles instead of visits×C

@@ -47,6 +47,8 @@ OPTIONAL PARAMETERS:
 [--checkpoint] (string)          : DEFAULT = OFF     : raw-TIFF render checkpoint; resumes if present.
 [--profile] (string)             : DEFAULT = OFF     : write a jax.profiler trace to this directory.
 [--stats]                        : DEFAULT = OFF     : print traced-ray counts and rays/second.
+[--accel-report]                 : DEFAULT = OFF     : print the acceleration spill report (accel/validate.py).
+[--accel-tune]                   : DEFAULT = OFF     : auto-raise visit budgets until the measured spill is zero.
 """
 
 
@@ -122,6 +124,22 @@ def main(argv=None) -> int:
         from c_raytracer_tpu.accel import reorder_scene
         printf_log("Generating the BVH.")
         scene = reorder_scene(scene)
+
+    if _flag(argv, "--accel-report", nargs=0) or \
+            _flag(argv, "--accel-tune", nargs=0):
+        from c_raytracer_tpu.accel.validate import spill_report, tuned_config
+        if _flag(argv, "--accel-tune", nargs=0):
+            cfg, rep = tuned_config(scene, cfg, resx, resy)
+            printf_log(
+                "Accel auto-tune: visits=%d shadow_visits=%d shortlist=%d.",
+                cfg.resolved_visits(any(scene.static.is_transparent)),
+                cfg.resolved_shadow_visits(
+                    any(scene.static.is_transparent)),
+                cfg.resolved_shadow_shortlist(
+                    any(scene.static.is_transparent)))
+        else:
+            rep = spill_report(scene, cfg, resx, resy)
+        printf_log("Accel spill report: %s.", rep)
 
     profile_dir = _flag(argv, "--profile")
     if profile_dir:

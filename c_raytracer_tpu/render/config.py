@@ -60,25 +60,67 @@ class RenderConfig:
     # geometry; tests pin exactness at visits=64)
     accel: str = "auto"
     bvh_cluster: int = 16           # triangles per Morton cluster
-    bvh_visits: int = 16            # nearest clusters swept per ray
+    bvh_visits: int | None = None   # nearest clusters swept per ray;
+                                    # None -> auto: 16 for opaque scenes,
+                                    # 64 for transparent ones — rays
+                                    # INSIDE a mesh (refraction) see many
+                                    # zero-entry clusters, and v=16 left
+                                    # 12× radiance error on scene5 while
+                                    # v=64 is exact to 1e-12
+                                    # (tools/profiling/s5_diag.py)
     bvh_shadow_visits: int | None = None  # shadow-sweep visits; None ->
-                                    # bvh_visits.  The shared-origin capsule
-                                    # test (traverse.shadow_visit_order) is
-                                    # much tighter than the closest-hit slab
-                                    # ordering, so shadow sweeps usually
-                                    # need fewer visits
-    bvh_shadow_shortlist: int = 32  # per-pixel top-K candidate triangles
-                                    # for the shared-origin shadow sweep
-                                    # (traverse.shadow_shortlist): sample
-                                    # chunks stream against K triangles
-                                    # instead of visits×cluster candidates.
-                                    # 0 disables (stream whole clusters)
+                                    # auto: bvh_visits for opaque scenes,
+                                    # max(bvh_visits, 64) for scenes with
+                                    # transparent materials — the kt tint
+                                    # product needs EVERY blocker along the
+                                    # segment, and nearest-V truncation
+                                    # leaked 22× radiance on scene5
+                                    # (tools/profiling/s5_diag.py)
+    bvh_shadow_shortlist: int | None = None  # per-pixel top-K candidate
+                                    # triangles for the shared-origin
+                                    # shadow sweep (shadow_shortlist):
+                                    # sample chunks stream against K
+                                    # triangles instead of visits×cluster
+                                    # candidates.  None -> auto: 32 for
+                                    # opaque scenes (missing a farther
+                                    # blocker is masked by any nearer
+                                    # one), 0 = DISABLED for transparent
+                                    # scenes (nearest-to-origin scoring
+                                    # drops kt factors; scene5 needed
+                                    # K>8500 for exactness).  Explicit
+                                    # ints always win
     bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
 
-    @property
-    def resolved_shadow_visits(self) -> int:
-        return (self.bvh_visits if self.bvh_shadow_visits is None
-                else self.bvh_shadow_visits)
+    # soft-shadow sweep structure: "shared" = shared-origin per-pixel
+    # capsule prefilter + (optional) shortlist, gathering each candidate
+    # block once per pixel — the fast path for OPAQUE scenes.  "per_ray" =
+    # per-sample slab-test visit lists (any_hit_tint_clusters) — thin
+    # segments overlap few clusters (scene5: mean ~3, max ~60), so a
+    # modest visit budget is exact where the fat per-pixel capsule needed
+    # ALL ~6300 clusters for the kt tint product.  "auto" picks shared for
+    # opaque scenes and per_ray for transparent ones.
+    shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray"
+
+    def resolved_shadow_mode(self, any_transparent: bool) -> str:
+        if self.shadow_mode != "auto":
+            return self.shadow_mode
+        return "per_ray" if any_transparent else "shared"
+
+    def resolved_visits(self, any_transparent: bool) -> int:
+        if self.bvh_visits is not None:
+            return self.bvh_visits
+        return 64 if any_transparent else 16
+
+    def resolved_shadow_visits(self, any_transparent: bool) -> int:
+        if self.bvh_shadow_visits is not None:
+            return self.bvh_shadow_visits
+        return max(self.resolved_visits(any_transparent), 64) \
+            if any_transparent else self.resolved_visits(any_transparent)
+
+    def resolved_shadow_shortlist(self, any_transparent: bool) -> int:
+        if self.bvh_shadow_shortlist is not None:
+            return self.bvh_shadow_shortlist
+        return 0 if any_transparent else 32
 
     @property
     def min_light_intensity_sqr(self) -> float:

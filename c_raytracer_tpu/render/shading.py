@@ -231,9 +231,12 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             ldir = lvec * (1.0 / jnp.where(ldist == 0.0, 1.0, ldist))
             return ldir, ldist
 
-        if ix.has_clusters:
+        if ix.use_shared_shadows:
             # shared-origin sweep: all chunks' occlusion in one pass with
-            # per-pixel visit lists (accel/intersect.py shadow_query)
+            # per-pixel visit lists (accel/intersect.py shadow_query).
+            # Transparent scenes use per-chunk any_tint instead
+            # (shadow_mode auto: thin per-sample segments keep the kt
+            # product exact at small visit budgets, see config.py)
             elo, ehi = ix.emitter_bounds(egid)
             shadow_all = ix.shadow_query(
                 hit_pt, elo, ehi, light_dirs, egid, nchunks, lc)

@@ -299,3 +299,93 @@ class TestScene56Substitutes:
                         jax.random.PRNGKey(0))
         img = np.asarray(img)
         assert np.isfinite(img).all() and (np.asarray(z) > 0).any()
+
+
+class TestTransparentSceneDefaults:
+    """Float-space (not 8-bit) render parity at DEFAULT knobs on a
+    transparent scene — the round-2 truncation hole: nearest-V shadow
+    truncation leaked 22× radiance on scene5 while all 8-bit goldens
+    passed.  The scene-aware auto policy (config.py: transparent scenes
+    get shadow visits ≥ 64 and NO shortlist) must make the cluster render
+    match brute force in float space."""
+
+    def test_default_knobs_float_parity(self):
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.render import make_renderer
+
+        scene = reorder_scene(_lit_soup())
+        key = jax.random.PRNGKey(7)
+        fb = make_renderer(scene.static, RenderConfig(
+            max_bounces=3, rounds=5, accel="none", light_chunk=4), 24, 24)
+        img_b, _ = fb(scene.params, key)
+        assert float(jnp.max(img_b)) > 1e-3, "frame must be lit"
+        fc = make_renderer(scene.static, RenderConfig(
+            max_bounces=3, rounds=5, accel="cluster", light_chunk=4), 24, 24)
+        img_c, _ = fc(scene.params, key)
+        ad = np.abs(np.asarray(img_c) - np.asarray(img_b))
+        denom = np.maximum(np.asarray(np.abs(img_b)), 1e-6)
+        assert float((ad / denom).max()) < 1e-3, (
+            f"cluster-vs-brute relative radiance error "
+            f"{float((ad/denom).max()):.3e}")
+
+    def test_spill_counters(self):
+        """spill == 0 proves the sweep was exhaustive; the counters are the
+        basis of the validate/auto-tune spill policy."""
+        from c_raytracer_tpu.accel import traverse
+
+        scene = reorder_scene(_soup_scene(np.random.default_rng(0)))
+        ds = G.device_scene(scene.params, scene.static)
+        ix = make_intersector(ds, scene.static,
+                              RenderConfig(accel="cluster"))
+        o, d = _rays(np.random.default_rng(4), 257)
+        K = ix.clusters.lo.shape[0]
+        n_ov, spill = jax.jit(
+            lambda: traverse.spill_counts(ix.clusters, o, d, K))()
+        # budget = cluster count -> nothing can spill
+        assert int(jnp.max(spill)) == 0
+        assert int(jnp.max(n_ov)) <= K
+        # a tiny budget must report spill for rays overlapping >1 cluster
+        n_ov1, spill1 = jax.jit(
+            lambda: traverse.spill_counts(ix.clusters, o, d, 1))()
+        np.testing.assert_array_equal(np.asarray(spill1),
+                                      np.maximum(np.asarray(n_ov1) - 1, 0))
+
+        lo = jnp.asarray([2.0, 2.0, 2.0])
+        hi = jnp.asarray([3.0, 3.0, 3.0])
+        cl_sp, tri_sp = jax.jit(lambda: traverse.shadow_spill_counts(
+            ix.clusters, o, lo, hi, K, 10_000))()
+        assert int(jnp.max(cl_sp)) == 0
+        assert int(jnp.max(tri_sp)) == 0
+
+
+@pytest.mark.skipif(not os.environ.get("CRT_SLOW"),
+                    reason="slow float-parity test; set CRT_SLOW=1")
+class TestScene5FloatParity:
+    """FLOAT-space (not 8-bit) cluster-vs-brute parity on the glass dragon
+    at DEFAULT knobs.  The 8-bit goldens can't see this: raw scene5
+    radiance is O(1e-3), which quantizes to ≤0.3 LSB — round 2's defaults
+    leaked 22× radiance on bright pixels while every golden passed.  The
+    scene-aware auto policy (per-ray transparent shadows + visits 64)
+    measured exact to 1e-12 (tools/profiling/s5_diag.py); this pins it."""
+
+    def test_default_knobs_match_brute(self, reference_root):
+        import dataclasses as dc
+        from c_raytracer_tpu.render import make_renderer
+        from c_raytracer_tpu.scene import load_scene
+
+        sc = reorder_scene(load_scene(
+            os.path.join(reference_root, "scenes/scene5.json")))
+        nl = tuple(min(n, 4) for n in sc.static.num_lights)
+        sc = dc.replace(sc, static=dc.replace(sc.static, num_lights=nl))
+        key = jax.random.PRNGKey(0)
+        base = dict(max_bounces=4, rounds=6, tri_chunk=8192)
+        img_b, _ = make_renderer(
+            sc.static, RenderConfig(accel="none", **base), 32, 32)(
+                sc.params, key)
+        img_c, _ = make_renderer(
+            sc.static, RenderConfig(accel="cluster", **base), 32, 32)(
+                sc.params, key)
+        ad = np.abs(np.asarray(img_c) - np.asarray(img_b))
+        denom = np.maximum(np.abs(np.asarray(img_b)), 1e-6)
+        rel = float((ad / denom).max())
+        assert rel < 1e-3, f"cluster-vs-brute rel radiance error {rel:.3e}"

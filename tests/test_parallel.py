@@ -73,16 +73,21 @@ class TestShardedRender:
         assert float(jnp.max(img)) > 0
 
 
-def _lit_soup(nt=600):
+def _lit_soup(nt=600, transparent=True):
     """Triangle soup with an emittant sphere and nonzero ambient so renders
     are actually lit — a black frame exercises neither shading nor the
     shadow-tint folds (round-2 lesson: the pr render test compared black
-    to black)."""
+    to black).  ``transparent=False`` makes the triangles opaque, which
+    exercises the shared-origin shadow sweep (shadow_mode auto picks
+    per-ray folds for transparent scenes)."""
     from c_raytracer_tpu.scene import types as T
     rng = np.random.default_rng(0)
     tv = rng.uniform(-3, 3, (nt, 3, 3)).astype(np.float32)
     tv[:, 1:] = tv[:, :1] + rng.uniform(-0.4, 0.4, (nt, 2, 3)).astype(
         np.float32)
+    tri_mat = dict(ks=[1, 1, 1], ka=[.2, .2, .2], tex_color=[1, 1, 1])
+    if transparent:
+        tri_mat["kt"] = [.5, .6, .7]
     return T.make_scene(
         sphere_center=[[0.0, 0.0, 0.0], [0.0, 6.0, -2.0]],
         sphere_radius=[0.5, 1.0],
@@ -92,8 +97,7 @@ def _lit_soup(nt=600):
         plane_material=[0],
         materials=[
             dict(ks=[1, 1, 1], ka=[.1, .1, .1], tex_color=[1, 1, 1]),
-            dict(ks=[1, 1, 1], kt=[.5, .6, .7], ka=[.2, .2, .2],
-                 tex_color=[1, 1, 1]),
+            tri_mat,
             dict(ke=[4, 4, 4], tex_color=[1, 1, 1]),
         ],
         camera=dict(position=[0, 0, -8], vector_x=[1, 0, 0],
@@ -237,6 +241,30 @@ class TestPrSharding:
         mesh = make_mesh(n_px=2, n_sp=1, n_pr=4)
         sharded_fn = make_sharded_renderer(lit.static, cfg, 24, 24, mesh)
         img1, z1 = sharded_fn(lit.params, key)
+        np.testing.assert_allclose(
+            np.asarray(img0), np.asarray(img1), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(z0), np.asarray(z1), atol=1e-5)
+
+    @needs_8_devices
+    def test_pr_render_matches_single_opaque_shared_sweep(self):
+        """Opaque mesh scene: the pr-sharded SHARED-ORIGIN shadow sweep
+        (vmapped shadow_visit_order + shortlist per shard) vs the
+        single-device one.  Transparent scenes route shadows per-ray, so
+        this is the only coverage of the sharded shadow_query path."""
+        from c_raytracer_tpu.accel.build import reorder_scene
+        lit_op = reorder_scene(_lit_soup(transparent=False))
+        cfg = RenderConfig(max_bounces=2, rounds=3, accel="cluster",
+                           light_chunk=4, bvh_visits=64,
+                           bvh_shadow_visits=64, bvh_shadow_shortlist=0)
+        key = jax.random.PRNGKey(4)
+        single = make_renderer(lit_op.static, cfg, 24, 24)
+        img0, z0 = single(lit_op.params, key)
+        assert float(jnp.max(img0)) > 1e-3, "test frame must be lit"
+
+        mesh = make_mesh(n_px=2, n_sp=1, n_pr=4)
+        sharded_fn = make_sharded_renderer(lit_op.static, cfg, 24, 24, mesh)
+        img1, z1 = sharded_fn(lit_op.params, key)
         np.testing.assert_allclose(
             np.asarray(img0), np.asarray(img1), atol=1e-6)
         np.testing.assert_allclose(
