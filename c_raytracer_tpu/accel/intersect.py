@@ -111,6 +111,19 @@ class Intersector:
                 jnp.where(better, gm, bg),
                 jnp.where(better[:, None], nw, bn_aos))
 
+    def retest(self, o: V3, d: V3, gid):
+        """Single-primitive inside-object re-test (render.c:143-144).
+
+        pr-sharded scenes route the per-ray triangle gather through the
+        owner shard (geometry/sharded.intersect_prim_sharded) so no
+        consumer keeps a replicated copy of the triangle arrays live;
+        otherwise the replicated gather path.  Returns (t, hit, normal)."""
+        if self.shards is not None:
+            from c_raytracer_tpu.geometry import sharded
+            return sharded.intersect_prim_sharded(
+                self.ds, self.static, self.shards, o, d, gid)
+        return G.intersect_prim_soa(self.ds, o, d, gid)
+
     def any_tint(self, o: V3, d: V3, max_dist, exclude_gid):
         """(blocked, tint V3) shadow query; component shapes arbitrary."""
         if self.shards is not None and self.clusters is None:

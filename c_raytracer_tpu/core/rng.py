@@ -69,9 +69,54 @@ def _hw_bits(seed, padded_rows):
     )(seed)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _hw_bits_2d(seed, rows, cols):
+    """(rows, cols) u32 with cols a multiple of _COLS: grid over both axes
+    so the requested trailing axis IS the generated lane axis — no
+    flatten/reshape relayout afterwards (a (2, 40, 65536) f32 relayout from
+    the (n//512, 512) generation shape measured 5.5 ms/array at 1024²)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_rows = min(_BLOCK_ROWS, rows)
+    # wide blocks: fewer programs → fewer reseeds (the seed computation is
+    # scalar-unit work serialized against the vector PRNG fill)
+    block_cols = _COLS
+    while block_cols * 2 <= cols and block_rows * block_cols * 8 <= 2 ** 21:
+        block_cols *= 2
+    grid = (rows // block_rows, cols // block_cols)
+
+    def kernel(seed_ref, out_ref):
+        pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(-1640531527),
+                        seed_ref[1])
+        out_ref[:] = pltpu.bitcast(
+            pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.uint32),
+    )(seed)
+
+
 def hw_uniform(key, shape):
     """U[0,1) of ``shape`` from the TPU hardware PRNG (top 24 bits)."""
     n = math.prod(shape) if shape else 1
+    # layout-preserving fast path: trailing axis a lane multiple → generate
+    # (lead, trail) directly; the final reshape only splits the leading
+    # axis, which keeps the minor layout (free), instead of relaying out
+    if shape and shape[-1] % _COLS == 0:
+        trail = shape[-1]
+        lead = n // trail
+        rows = -(-lead // 8) * 8          # sublane-aligned
+        bits = _hw_bits_2d(_key_words(key), rows, trail)
+        u = ((bits >> jnp.uint32(8)).astype(jnp.float32)
+             * jnp.float32(2.0 ** -24))
+        return u[:lead].reshape(shape)
     rows = -(-n // _COLS)
     padded_rows = max(_BLOCK_ROWS, -(-rows // _BLOCK_ROWS) * _BLOCK_ROWS)
     bits = _hw_bits(_key_words(key), padded_rows)

@@ -161,11 +161,17 @@ def from_rows(arr) -> V3:
 
 
 def spherical_to_cartesian(radius, inclination, azimuth) -> V3:
-    """SPHERICAL_TO_CARTESIAN macro (calc.h:17-22)."""
-    si = jnp.sin(inclination)
-    return V3(radius * jnp.cos(azimuth) * si,
-              radius * jnp.sin(azimuth) * si,
-              radius * jnp.cos(inclination))
+    """SPHERICAL_TO_CARTESIAN macro (calc.h:17-22).
+
+    The four trig arrays are materialized behind an optimization barrier:
+    the three cartesian components land in different consumer fusions, and
+    without the barrier XLA recomputes the sin/cos into each of them
+    (2-3× the transcendental ALU of the renderer's sample generation —
+    measured on the scene1 1024² shadow sweep)."""
+    si, ci, sa, ca = jax.lax.optimization_barrier(
+        (jnp.sin(inclination), jnp.cos(inclination),
+         jnp.sin(azimuth), jnp.cos(azimuth)))
+    return V3(radius * ca * si, radius * sa * si, radius * ci)
 
 
 def select_scalar(idx, values, init=None):

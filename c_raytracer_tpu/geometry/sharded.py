@@ -223,6 +223,83 @@ def closest_hit_sharded(ds: G.DeviceScene, static, sh: TriShards,
             v3m.where(better, nw, bn))
 
 
+def intersect_prim_sharded(ds: G.DeviceScene, static, sh: TriShards,
+                           o: V3, d: V3, gid):
+    """Inside-object re-test (render.c:143-144) with pr-sharded triangles.
+
+    The replicated re-test (primitives.intersect_prim) gathers per-ray
+    triangle parameters from the FULL triangle arrays — the one consumer
+    that would keep a replicated copy of the geometry live on every device
+    of a pr mesh.  Here each shard gathers only from its own (m,) slice
+    (rays whose gid falls outside the shard read a clipped dummy row and
+    are masked), and the single owner shard's result is selected by a
+    masked sum over the shard axis — a psum over ``pr`` under SPMD.
+
+    Spheres/planes stay replicated (a handful; outside the BVH in the
+    reference too, object.h:84).  Returns (t, hit, normal V3) exactly like
+    intersect_prim_soa."""
+    ns, nt = static.n_spheres, static.n_triangles
+    S, m = sh.eps.shape
+    P = jnp.shape(o.x)
+    g = jnp.maximum(gid, 0)
+    zero_t = jnp.zeros(P, jnp.float32)
+    zero_h = jnp.zeros(P, bool)
+    zero_v = v3m.zeros(P)
+
+    # triangle candidate: per-shard local gather + ownership mask
+    if nt:
+        li = g - ns                                     # global tri index
+
+        def shard_test(k, v0, e1, e2, nrm, eps):
+            lo = k * m
+            owner = (li >= lo) & (li < lo + m)
+            lidx = jnp.clip(li - lo, 0, m - 1)
+            take = lambda comp: comp[lidx]              # noqa: E731
+            t, hit = G._mt_test_soa(o, d, v0.map(take), e1.map(take),
+                                    e2.map(take), eps[lidx])
+            return t, hit & owner, nrm.map(take), owner
+
+        ts, hs, nv, ow = jax.vmap(shard_test)(
+            jnp.arange(S), sh.v0, sh.e1, sh.e2, sh.n, sh.eps)  # (S, *P)
+        owf = ow.astype(jnp.float32)
+        tt = jnp.sum(ts * owf, axis=0)
+        th = jnp.any(hs, axis=0)
+        tn = V3(jnp.sum(nv.x * owf, axis=0), jnp.sum(nv.y * owf, axis=0),
+                jnp.sum(nv.z * owf, axis=0))
+    else:
+        tt, th, tn = zero_t, zero_h, zero_v
+
+    # sphere candidate (tiny replicated table, per-ray gather)
+    if ns:
+        si = jnp.clip(g, 0, ns - 1)
+        c = V3(ds.sph_center[si, 0], ds.sph_center[si, 1],
+               ds.sph_center[si, 2])
+        radius = ds.sph_radius[si]
+        st, shit = G._sphere_test_soa(o, d, c, radius, ds.sph_eps[si])
+        stc = jnp.where(st < G.FLT_MAX, st, 1.0)
+        sn = (o + d * stc - c) * (1.0 / radius)
+    else:
+        st, shit, sn = zero_t, zero_h, zero_v
+
+    # plane candidate
+    npl = static.n_planes
+    if npl:
+        pi = jnp.clip(g - ns - nt, 0, npl - 1)
+        n = V3(ds.pln_n[pi, 0], ds.pln_n[pi, 1], ds.pln_n[pi, 2])
+        pt, phit, a = G._plane_test_soa(o, d, n, ds.pln_d[pi],
+                                        ds.pln_eps[pi])
+        pn = v3m.where(jnp.signbit(a), n, -n)
+    else:
+        pt, phit, pn = zero_t, zero_h, zero_v
+
+    is_s = gid < ns
+    is_t = (gid >= ns) & (gid < ns + nt)
+    t = jnp.where(is_s, st, jnp.where(is_t, tt, pt))
+    hit = (gid >= 0) & jnp.where(is_s, shit, jnp.where(is_t, th, phit))
+    nrm = v3m.where(is_s, sn, v3m.where(is_t, tn, pn))
+    return t, hit, nrm
+
+
 def any_hit_tint_sharded(ds: G.DeviceScene, static, sh: TriShards,
                          o: V3, d: V3, max_dist, exclude_gid):
     """Shadow query with pr-sharded triangles (is_light_blocked,

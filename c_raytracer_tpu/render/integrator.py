@@ -58,7 +58,7 @@ def _trace(ix, o: V3, d: V3, inside):
     tc, gc, mc, nc = ix.closest(o, d)
     if inside is None:
         return tc, gc, mc, nc
-    ti, hi, ni = G.intersect_prim_soa(ix.ds, o, d, inside)
+    ti, hi, ni = ix.retest(o, d, inside)
     use_inside = (inside >= 0) & hi
     t = jnp.where(use_inside, ti, tc)
     gid = jnp.where(use_inside, inside, gc)

@@ -252,6 +252,15 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                        _shadow=shadow_all):
             acc = carry
             ldir, ldist = _dirs(chunk_i)
+            # materialize the sampled directions ONCE: they feed the shadow
+            # sweep, the diffuse cosine and the specular term, and without
+            # the barrier XLA rematerializes the sin/cos sampling math into
+            # each consumer fusion (3× the transcendental ALU; scene1 1024²
+            # measured the three per-channel reduce fusions at 66% of the
+            # frame)
+            ldir_t, ldist = jax.lax.optimization_barrier(
+                ((ldir.x, ldir.y, ldir.z), ldist))
+            ldir = V3(*ldir_t)
             nrm_b = normal.map(lambda a: a[None])
             a = v3m.dot(ldir, nrm_b)
 
@@ -271,9 +280,6 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             incoming = _intensity * tint
             incoming = attenuate_light(cfg, incoming, ldist)
 
-            diffuse = (tex_col.map(lambda x: x[None]) * incoming
-                       * cmath.fmaxf_zero(a))
-
             rd_b = ray_d.map(lambda x: x[None])
             if phong:
                 reflected = nrm_b * (2.0 * a) - ldir
@@ -283,8 +289,13 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                 hm = v3m.safe_mag(hv)
                 reflected = hv * (1.0 / jnp.where(hm == 0.0, 1.0, hm))
                 spec_mul = -v3m.dot(nrm_b, reflected)
-            spec = (ksv.map(lambda x: x[None]) * incoming
-                    * cmath.fmax0_powf(spec_mul, shin[None]))
+            # one powf / cosine per sample, shared by all three channel
+            # reductions (same rationale as the ldir barrier above)
+            cos_d, spec_p = jax.lax.optimization_barrier(
+                (cmath.fmaxf_zero(a),
+                 cmath.fmax0_powf(spec_mul, shin[None])))
+            diffuse = tex_col.map(lambda x: x[None]) * incoming * cos_d
+            spec = ksv.map(lambda x: x[None]) * incoming * spec_p
 
             ok = (active & is_outside & (gid != _egid))[None] & ~blocked
             # mask padded tail lanes of the final chunk

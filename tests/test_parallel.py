@@ -155,6 +155,65 @@ class TestPrSharding:
                 np.asarray(getattr(tn1, c)), np.asarray(getattr(tn2, c)),
                 rtol=3e-7)
 
+    def test_inside_retest_matches_replicated(self, soup):
+        """The inside-object re-test (render.c:143-144) routed through the
+        owner shard (intersect_prim_sharded) must match the replicated
+        per-ray gather bit-exactly — including rays whose gid is a sphere,
+        a plane, or -1 (no enclosing object)."""
+        from test_accel import _rays
+        from c_raytracer_tpu.core import v3 as v3m
+        from c_raytracer_tpu.geometry import primitives as G
+        from c_raytracer_tpu.geometry import sharded
+
+        ds = G.device_scene(soup.params, soup.static)
+        sh = sharded.shard_triangles(ds, soup.static, 8, tri_chunk=512)
+        o_a, d_a = _rays(np.random.default_rng(2), 301)
+        o, d = v3m.from_aos(o_a), v3m.from_aos(d_a)
+        rng = np.random.default_rng(3)
+        gid = jnp.asarray(
+            rng.integers(-1, soup.static.n_prims, 301, dtype=np.int32))
+
+        t1, h1, n1 = jax.jit(
+            lambda: G.intersect_prim_soa(ds, o, d, gid))()
+        t2, h2, n2 = jax.jit(
+            lambda: sharded.intersect_prim_sharded(
+                ds, soup.static, sh, o, d, gid))()
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        # miss-lane t values are garbage in both paths; compare hits only
+        hm = np.asarray(h1)
+        np.testing.assert_array_equal(np.asarray(t1)[hm], np.asarray(t2)[hm])
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(n1, c))[hm],
+                np.asarray(getattr(n2, c))[hm])
+
+    @needs_8_devices
+    def test_pr_axis_partitions_geometry_memory(self):
+        """pr sharding must shrink compiled per-device geometry memory on a
+        geometry-dominated workload (ADVICE r2: the shard-shape test alone
+        doesn't prove the replicated arrays go dead).  The decisive number
+        is per-device ARGUMENT bytes: params.tri_vertices dominates the
+        inputs, and the sharding constraints must let XLA place it sharded
+        over pr (~1/8) instead of replicated.  Temps shrink too, but only
+        partially — the per-ray sweep gathers scale with rays × visits,
+        which pr does not divide."""
+        from c_raytracer_tpu.accel.build import reorder_scene
+        lit = reorder_scene(_lit_soup(nt=60000))
+        cfg = RenderConfig(max_bounces=1, rounds=2, accel="cluster",
+                           light_chunk=8, bvh_visits=4,
+                           bvh_shadow_visits=4, bvh_shadow_shortlist=0)
+        key = jax.random.PRNGKey(0)
+        temps, args = {}, {}
+        for n in (1, 8):
+            mesh = make_mesh(n_px=1, n_sp=1, n_pr=n,
+                             devices=jax.devices()[:n])
+            fn = make_sharded_renderer(lit.static, cfg, 8, 8, mesh)
+            ma = fn.lower(lit.params, key).compile().memory_analysis()
+            temps[n] = ma.temp_size_in_bytes
+            args[n] = ma.argument_size_in_bytes
+        assert args[8] * 6 <= args[1], args
+        assert temps[8] * 3 <= temps[1] * 2, temps
+
     @needs_8_devices
     def test_pr_arrays_partition_across_devices(self, soup):
         """The stacked triangle arrays must actually live sharded: each of
