@@ -196,6 +196,37 @@ def pack_clusters_sharded(sh, static, cluster_size: int) -> ClusterSet:
                       gid0=con(gid0), flat=con(flat), bound=con(bound))
 
 
+def _k_smallest(key, V):
+    """(vals, idx) of the V smallest entries per row of ``key`` (R, K),
+    ascending, ties to the lowest index — identical order and tie-break to
+    ``lax.top_k(-key, V)``, by V passes of min-reduce + first-index + mask.
+
+    top_k on (R, K≈1700) keys lowered to a variadic sort costing
+    ~0.6 ms/call on scene4 512² (two call sites = 24% of the frame); V
+    VPU sweeps over (R, K) are several times cheaper for the small V used
+    by visit budgets.  Rows whose keys are all FLT_MAX can return
+    repeated indices — callers mask those lanes via vals < FLT_MAX, same
+    as they did with top_k."""
+    R, K = key.shape
+    if V > 32:
+        # extraction cost grows linearly with V while the sort behind
+        # top_k is V-independent; large budgets (transparent scenes'
+        # visits=64) keep the sort
+        neg_top, idx = jax.lax.top_k(-key, V)
+        return -neg_top, idx.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    cur = key
+    vals, idxs = [], []
+    for _ in range(V):
+        m = cur.min(axis=1)                                 # (R,)
+        first = jnp.min(jnp.where(cur == m[:, None], iota, K), axis=1)
+        first = jnp.minimum(first, K - 1)                   # all-masked row
+        vals.append(m)
+        idxs.append(first)
+        cur = jnp.where(iota == first[:, None], FLT_MAX, cur)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def _visit_order(cs: ClusterSet, o, d, visits: int):
     """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V))
     sorted by entry distance.  Selection only — gradients stopped."""
@@ -214,6 +245,10 @@ def _visit_order(cs: ClusterSet, o, d, visits: int):
     entry = jnp.maximum(tmin, 0.0)
     overlap = tmax >= entry                               # (R, K)
     key = jnp.where(overlap, entry, FLT_MAX)
+    # top_k, not _k_smallest: K here is the full cluster count (~1-6k), and
+    # V extraction passes re-stream the (R, K) keys from HBM — measured a
+    # wash-to-loss vs the sort on scene4 512²; _k_smallest wins only on
+    # small key blocks (the shortlist's V·C)
     neg_top, idx = jax.lax.top_k(-key, V)                 # (R, V)
     return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top
 
@@ -445,6 +480,7 @@ def shadow_visit_order(cs: ClusterSet, origin, hull_lo, hull_hi,
     margin = half_diag[None] + s * erad
     overlap = d2 <= margin * margin
     key = jnp.where(overlap, jnp.sum(rel * rel, -1), FLT_MAX)
+    # top_k (see _visit_order): full-cluster-count keys favor the sort
     neg_top, idx = jax.lax.top_k(-key, V)
     return idx.astype(jnp.int32), -neg_top < FLT_MAX
 
@@ -545,14 +581,31 @@ def shadow_shortlist(cs: ClusterSet, origin, cids, ok, ecenter, erad,
         return jnp.where(overlap, dist2, FLT_MAX)
 
     scores = jax.vmap(score_visit, out_axes=1)(jnp.arange(V))
+    # flat-triangle index per score lane, arithmetically from (visit, lane)
+    flat_ti = (cids[:, :, None] * C
+               + jnp.arange(C, dtype=jnp.int32)[None, None, :])  # (P, V, C)
     scores = scores.reshape(P, V * C)
-    neg_top, pos = jax.lax.top_k(-scores, K)               # (P, K)
-    lane_ok = -neg_top < FLT_MAX
-    # flat tri index arithmetically from the winning position: pos encodes
-    # (visit, lane); only a tiny (P, V) gather of cids — not a (P, V·C)
-    # take_along_axis (profiling: that take alone was ~0.5s/frame)
-    win_cid = jnp.take_along_axis(cids, pos // C, -1)      # (P, K)
-    ti = win_cid * C + (pos % C)
+    flat_ti = flat_ti.reshape(P, V * C)
+    # K-smallest selection by ITERATIVE MIN EXTRACTION over the small
+    # (P, V·C) score block: K passes of min-reduce + first-index + mask —
+    # pure VPU sweeps.  top_k here lowered to a variadic (P, V·C) sort
+    # (measured 150-250 ms/frame on scene4 512² depending on how its index
+    # operand fused); K·(V·C) compare/selects are an order of magnitude
+    # cheaper, and the ascending-score-first-index order is identical
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, V * C), 1)
+    cur = scores
+    ti_cols, ok_cols = [], []
+    for _ in range(K):
+        m = cur.min(axis=1)                                # (P,)
+        is_m = cur == m[:, None]
+        first = jnp.min(jnp.where(is_m, iota, V * C), axis=1)   # (P,)
+        picked = iota == first[:, None]
+        ti_cols.append(
+            jnp.sum(jnp.where(picked, flat_ti, 0), axis=1))
+        ok_cols.append(m < FLT_MAX)
+        cur = jnp.where(picked, FLT_MAX, cur)
+    lane_ok = jnp.stack(ok_cols, axis=1)                   # (P, K)
+    ti = jnp.stack(ti_cols, axis=1)
     ti = jnp.where(lane_ok, ti, 0)
     blk = cs.flat[ti]                                      # (P, K, F)
     blk = jnp.swapaxes(blk, 1, 2)                          # (P, F, K)
