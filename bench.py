@@ -136,6 +136,43 @@ def measure_scene4():
     return total / dt, dt
 
 
+def measure_scene5():
+    """Transparent-mesh workload (glass dragon substitute, ~100k tris,
+    stack integrator + per-ray EXACT kt shadow folds — the round-3
+    truncation fix) at 32² with 40-sample lights.  The exact transparent
+    path is the framework's most expensive configuration (every kt blocker
+    along every shadow segment must be folded); full-size frames run
+    minutes and are rendered host-tiled (make_host_tiled_renderer), so the
+    bench samples a small config whose per-call time fits the tunnel."""
+    import dataclasses
+
+    import jax
+
+    from c_raytracer_tpu.accel import reorder_scene
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    scene = reorder_scene(
+        load_scene("/root/reference/scenes/scene5.json",
+                   mesh_root="/root/reference"))
+    nl = tuple(min(n, 40) for n in scene.static.num_lights)
+    scene = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, num_lights=nl))
+    fn = make_renderer(scene.static, RenderConfig(), 32, 32,
+                       with_stats=True)
+    img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
+    img.block_until_ready()
+    n_iters = 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img, z, stats = fn(scene.params, jax.random.PRNGKey(i))
+        img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    total = float(stats["main_rays"] + stats["shadow_rays"]
+                  + stats["gi_rays"])
+    return total / dt, dt
+
+
 def measure_reference():
     """Build + run the reference C engine; returns rays/s or None."""
     try:
@@ -179,6 +216,10 @@ def main():
         s4_rays_per_s, s4_dt = measure_scene4()
     except Exception:
         s4_rays_per_s, s4_dt = -1.0, -1.0
+    try:
+        s5_rays_per_s, s5_dt = measure_scene5()
+    except Exception:
+        s5_rays_per_s, s5_dt = -1.0, -1.0
 
     ref = measure_reference()
     if ref is not None:
@@ -202,6 +243,8 @@ def main():
             "path_gi_n4_seconds_1024": round(path_dt, 4),
             "scene4_512_rays_per_s": round(s4_rays_per_s),
             "scene4_512_seconds": round(s4_dt, 4),
+            "scene5_32_l40_rays_per_s": round(s5_rays_per_s),
+            "scene5_32_l40_seconds": round(s5_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))

@@ -373,7 +373,11 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
     arithmetic (cluster id × C + argmin lane), so the loop runs with NO
     per-ray data gathers (profiling: four take_along_axis gathers per
     visit were ~16% of a scene4 frame).  The winner's normal is fetched
-    once after the sweep with a single 3-component gather."""
+    once after the sweep with a single 3-component gather.  Visits are
+    processed _VISIT_BATCH per step; pruning against the running best
+    happens at batch granularity (weaker within a batch, identical fold
+    result — the min over a batch equals the sequential strictly-smaller
+    fold, with flattened argmin preserving first-visit-wins ties)."""
     C = cs.blk.shape[2]
     cids, ok, entry = _visit_order(cs, o, d, visits)
     V = cids.shape[1]

@@ -1,3 +1,4 @@
-from c_raytracer_tpu.render.api import make_renderer, render  # noqa: F401
+from c_raytracer_tpu.render.api import (  # noqa: F401
+    make_host_tiled_renderer, make_renderer, render)
 from c_raytracer_tpu.render.config import RenderConfig  # noqa: F401
 from c_raytracer_tpu.render.progressive import render_progressive  # noqa: F401

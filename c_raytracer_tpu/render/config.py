@@ -91,6 +91,17 @@ class RenderConfig:
                                     # ints always win
     bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
 
+    # fused Pallas shadow-sample kernel (render/fused_shadow.py): sample
+    # generation + occlusion + shade + per-channel reduction for one light
+    # chunk in a single VMEM-resident kernel, for eligible dense scenes on
+    # TPU (opaque sphere/plane geometry, sphere emitter).  Default OFF: on
+    # scene1 1024² it measured 198 ms/frame vs the optimization-barrier
+    # XLA path's 184 ms — after the barrier dedup, XLA's fusions are
+    # already at the floor the kernel targets (PERFORMANCE.md round 3).
+    # Kept as a correct, tested alternative ("on"): bit-parity and grad
+    # tests run it on TPU (tests/test_render.py TestFusedShadow)
+    fused_shadow: str = "off"       # "on" | "off"
+
     # soft-shadow sweep structure: "shared" = shared-origin per-pixel
     # capsule prefilter + (optional) shortlist, gathering each candidate
     # block once per pixel — the fast path for OPAQUE scenes.  "per_ray" =

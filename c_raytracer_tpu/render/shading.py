@@ -151,12 +151,10 @@ def sample_hemisphere(key, normal: V3, eps):
     return d, v3m.dot(normal, d)
 
 
-def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
-    """Random sphere-surface points (object.c:293-304): the reference's
-    direction flip triggers whenever dot(center−point, dir) ≠ 0 — i.e.
-    essentially always.  Returns V3 (lc, *P)."""
-    P = jnp.shape(hit_pt.x)
-    u = rng.uniform(key, (2, lc) + P, jnp.float32)
+def _sphere_light_point_from_u(u, center: V3, radius, hit_pt: V3):
+    """Sphere-surface points from pre-drawn uniforms u (2, lc, *P) —
+    split out so the fused TPU shadow kernel and its jnp VJP reference can
+    consume the SAME uniform draw (render/fused_shadow.py)."""
     inclination = u[0] * (2.0 * PI)
     azimuth = u[1] * (2.0 * PI)
     ldir = v3m.spherical_to_cartesian(radius, inclination, azimuth)
@@ -164,6 +162,15 @@ def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
     flip = v3m.dot(toward.map(lambda a: a[None]), ldir) != 0.0
     ldir = v3m.where(flip, -ldir, ldir)
     return ldir + center
+
+
+def _sphere_light_point(key, center: V3, radius, hit_pt: V3, lc):
+    """Random sphere-surface points (object.c:293-304): the reference's
+    direction flip triggers whenever dot(center−point, dir) ≠ 0 — i.e.
+    essentially always.  Returns V3 (lc, *P)."""
+    P = jnp.shape(hit_pt.x)
+    u = rng.uniform(key, (2, lc) + P, jnp.float32)
+    return _sphere_light_point_from_u(u, center, radius, hit_pt)
 
 
 def _triangle_light_point(key, v0: V3, e1: V3, e2: V3, hit_pt: V3, lc):
@@ -175,6 +182,103 @@ def _triangle_light_point(key, v0: V3, e1: V3, e2: V3, hit_pt: V3, lc):
     p = jnp.where(over, 1.0 - p, p)
     q = jnp.where(over, 1.0 - q, q)
     return v0 + e1 * p + e2 * q
+
+
+def _packed_sphere_chunk_ref(phong, lc, ns, npl, egid, atten_kind):
+    """jnp reference of the fused shadow chunk in PACKED form
+    (u (2,lc,P), px (17,P), scal_f (F,), n_valid (1,)) -> (3, P) — the
+    function the fused kernel's custom VJP differentiates
+    (render/fused_shadow.py; same formula chain as the kernel)."""
+    EM = 8
+
+    def ref(u, px, scal_f, n_valid):
+        hit_pt = V3(px[0], px[1], px[2])
+        normal = V3(px[3], px[4], px[5])
+        ray_d = V3(px[6], px[7], px[8])
+        tex = V3(px[9], px[10], px[11])
+        ks = V3(px[12], px[13], px[14])
+        shin = px[15]
+        okf = px[16] > 0
+        ec = V3(scal_f[0], scal_f[1], scal_f[2])
+        erad = scal_f[3]
+        inten = V3(scal_f[4], scal_f[5], scal_f[6])
+        off = scal_f[7]
+
+        lp = _sphere_light_point_from_u(u, ec, erad, hit_pt)
+        lvec = lp - hit_pt.map(lambda x: x[None])
+        ldist = v3m.safe_mag(lvec)
+        ldir = lvec * (1.0 / jnp.where(ldist == 0.0, 1.0, ldist))
+        nrm_b = normal.map(lambda x: x[None])
+        a = v3m.dot(ldir, nrm_b)
+
+        from c_raytracer_tpu.geometry import primitives as G
+        o_b = hit_pt.map(lambda x: x[None])
+        blocked = jnp.zeros(jnp.shape(u[0]), bool)
+        for i in range(ns):
+            if i == egid:
+                continue
+            base = EM + 5 * i
+            c = V3(scal_f[base], scal_f[base + 1], scal_f[base + 2])
+            t, hit = G._sphere_test_soa(o_b, ldir, c, scal_f[base + 3],
+                                        scal_f[base + 4])
+            blocked = blocked | (hit & (t < ldist))
+        for i in range(npl):
+            base = EM + 5 * ns + 5 * i
+            n = V3(scal_f[base], scal_f[base + 1], scal_f[base + 2])
+            t, hit, _ = G._plane_test_soa(o_b, ldir, n, scal_f[base + 3],
+                                          scal_f[base + 4])
+            blocked = blocked | (hit & (t < ldist))
+
+        if atten_kind == "none":
+            att = jnp.ones_like(ldist)
+        elif atten_kind == "lin":
+            att = 1.0 / (off + ldist)
+        else:
+            att = 1.0 / (off + ldist * ldist)
+        incoming = inten * att
+
+        rd_b = ray_d.map(lambda x: x[None])
+        if phong:
+            reflected = nrm_b * (2.0 * a) - ldir
+            spec_mul = -v3m.dot(reflected, rd_b)
+        else:
+            hv = rd_b - ldir
+            hm = v3m.safe_mag(hv)
+            reflected = hv * (1.0 / jnp.where(hm == 0.0, 1.0, hm))
+            spec_mul = -v3m.dot(nrm_b, reflected)
+        cos_d = cmath.fmaxf_zero(a)
+        spec_p = cmath.fmax0_powf(spec_mul, shin[None])
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, jnp.shape(u[0]), 0)
+        ok = okf[None] & ~blocked & (lane < n_valid[0])
+        diffuse = tex.map(lambda x: x[None]) * incoming * cos_d
+        spec = ks.map(lambda x: x[None]) * incoming * spec_p
+        contrib = v3m.where(ok, diffuse + spec, 0.0)
+        return jnp.stack([jnp.sum(contrib.x, axis=0),
+                          jnp.sum(contrib.y, axis=0),
+                          jnp.sum(contrib.z, axis=0)], axis=0)
+
+    return ref
+
+
+def _fused_eligible(ix, static, cfg, egid, lc, P) -> bool:
+    """Whether this emitter's shadow chunks can run the fused TPU kernel
+    (render/fused_shadow.py) — dense opaque sphere/plane scene, sphere
+    emitter, TPU target, block-alignable shapes."""
+    if getattr(cfg, "fused_shadow", "off") != "on":
+        return False
+    if rng._target_platform() != "tpu":
+        return False
+    if ix.clusters is not None or ix.shards is not None:
+        return False
+    if static.n_triangles or any(static.is_transparent):
+        return False
+    if egid >= static.n_spheres:
+        return False
+    if lc % 8 or len(P) != 1:
+        return False
+    from c_raytracer_tpu.render import fused_shadow
+    return fused_shadow.pick_block(P[0]) is not None
 
 
 def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
@@ -245,6 +349,52 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
 
         ksv = mat3(ds.materials.ks, mat)            # (P,) V3
         shin = mat1(ds.materials.shininess, mat)    # (P,)
+
+        if shadow_all is None and _fused_eligible(ix, static, cfg, egid,
+                                                  lc, P):
+            # fused Pallas path: sample + occlusion + shade + reduce in one
+            # kernel (render/fused_shadow.py); the uniforms are drawn
+            # OUTSIDE the custom-vjp boundary so forward (kernel) and
+            # backward (jnp reference VJP) see the same sample set
+            from c_raytracer_tpu.render import fused_shadow
+            np_eps = np.asarray(static.epsilon, np.float32)
+            ns, npl = static.n_spheres, static.n_planes
+            okf = (active & is_outside & (gid != egid)).astype(jnp.float32)
+            px = jnp.stack([
+                hit_pt.x, hit_pt.y, hit_pt.z,
+                normal.x, normal.y, normal.z,
+                ray_d.x, ray_d.y, ray_d.z,
+                tex_col.x, tex_col.y, tex_col.z,
+                ksv.x, ksv.y, ksv.z, shin, okf], 0)
+            parts = [ds.sph_center[egid], ds.sph_radius[egid][None],
+                     jnp.stack([intensity.x, intensity.y, intensity.z]),
+                     jnp.asarray([cfg.attenuation_offset], jnp.float32)]
+            for i in range(ns):
+                parts += [ds.sph_center[i], ds.sph_radius[i][None],
+                          jnp.asarray([np_eps[i]])]
+            for i in range(npl):
+                parts += [ds.pln_n[i], ds.pln_d[i][None],
+                          jnp.asarray([np_eps[ns + i]])]
+            scal_f = jnp.concatenate(parts).astype(jnp.float32)
+            ref = _packed_sphere_chunk_ref(phong, lc, ns, npl, egid,
+                                           cfg.light_attenuation)
+            fused = fused_shadow.make_fused_chunk(
+                ref, lc, ns, npl, egid, phong, cfg.light_attenuation)
+
+            def fused_chunk_body(acc, chunk_i, _f=fused, _px=px,
+                                 _sf=scal_f, _ekey=ekey, _lc=lc,
+                                 _nl=num_lights):
+                ckey = jax.random.fold_in(_ekey, chunk_i)
+                u = rng.uniform(ckey, (2, _lc) + P, jnp.float32)
+                nv = jnp.asarray([_nl], jnp.int32) - chunk_i * _lc
+                out = _f(u, _px, _sf, nv)
+                return acc + V3(out[0], out[1], out[2]), None
+
+            fbody = (remat.checkpoint(fused_chunk_body) if cfg.remat
+                     else fused_chunk_body)
+            acc, _ = jax.lax.scan(fbody, v3m.zeros(P), jnp.arange(nchunks))
+            total = total + acc
+            continue
 
         def chunk_body(carry, chunk_i, _egid=egid,
                        _intensity=intensity, _lc=lc,

@@ -139,3 +139,48 @@ class TestDeterminism:
         q2, z2 = render_q(p, RenderConfig(), key=7)
         np.testing.assert_array_equal(q1, q2)
         np.testing.assert_array_equal(z1, z2)
+
+
+class TestFusedShadow:
+    """Fused Pallas shadow-sample kernel (render/fused_shadow.py) vs the
+    XLA path — TPU only (eligibility requires the TPU target; on CPU the
+    jnp path always runs, which the rest of this file covers)."""
+
+    @pytest.mark.skipif(not os.environ.get("CRT_TEST_TPU"),
+                        reason="fused kernel runs on TPU only")
+    def test_matches_xla_path(self, reference_root):
+        from c_raytracer_tpu.render import make_renderer
+        sc = load_scene(os.path.join(reference_root, "scenes/scene1.json"))
+        key = jax.random.PRNGKey(0)
+        f_off = make_renderer(sc.static, RenderConfig(), 64, 64)
+        f_on = make_renderer(sc.static,
+                             RenderConfig(fused_shadow="on"), 64, 64)
+        i0, z0 = f_off(sc.params, key)
+        i1, z1 = f_on(sc.params, key)
+        # same uniforms, same formulas; only ulp-level reassociation
+        # (pow vs exp·log) may differ
+        np.testing.assert_allclose(np.asarray(i0), np.asarray(i1),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+    @pytest.mark.skipif(not os.environ.get("CRT_TEST_TPU"),
+                        reason="fused kernel runs on TPU only")
+    def test_grad_path_finite_and_nonzero(self, reference_root):
+        """custom-vjp backward (jnp reference at the same uniforms):
+        gradients must flow and stay finite through the fused path."""
+        import jax.numpy as jnp
+        from c_raytracer_tpu.render import make_renderer
+        sc = load_scene(os.path.join(reference_root, "scenes/scene1.json"))
+        fn = make_renderer(sc.static, RenderConfig(fused_shadow="on"),
+                           32, 32, jit=False)
+
+        def loss(params):
+            img, _ = fn(params, jax.random.PRNGKey(0))
+            return jnp.mean(img * img)
+
+        g = jax.jit(jax.grad(loss))(sc.params)
+        leaves = [x for x in jax.tree.leaves(g) if x.size]  # scene1 has
+        #                                     empty triangle-family leaves
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+        gmax = max(float(jnp.max(jnp.abs(x))) for x in leaves)
+        assert gmax > 0
