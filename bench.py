@@ -158,7 +158,7 @@ def measure_scene5():
     nl = tuple(min(n, 40) for n in scene.static.num_lights)
     scene = dataclasses.replace(
         scene, static=dataclasses.replace(scene.static, num_lights=nl))
-    fn = make_renderer(scene.static, RenderConfig(), 32, 32,
+    fn = make_renderer(scene.static, RenderConfig(), 16, 16,
                        with_stats=True)
     img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
     img.block_until_ready()
@@ -243,8 +243,8 @@ def main():
             "path_gi_n4_seconds_1024": round(path_dt, 4),
             "scene4_512_rays_per_s": round(s4_rays_per_s),
             "scene4_512_seconds": round(s4_dt, 4),
-            "scene5_32_l40_rays_per_s": round(s5_rays_per_s),
-            "scene5_32_l40_seconds": round(s5_dt, 4),
+            "scene5_16_l40_rays_per_s": round(s5_rays_per_s),
+            "scene5_16_l40_seconds": round(s5_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))
