@@ -53,7 +53,7 @@ def pick_block(n_pixels: int) -> int | None:
 
 
 def _kernel(ni_ref, scal_ref, u_ref, px_ref, out_ref, *,
-            lc, ns_occ, npl, egid, phong, atten, atten_kind):
+            lc, ns_occ, npl, egid, phong, atten_kind):
     """One pixel-block: (lc, B) sample lanes against (1, B) pixel data."""
     ecx, ecy, ecz = scal_ref[0], scal_ref[1], scal_ref[2]
     erad = scal_ref[3]
@@ -181,8 +181,8 @@ def _kernel(ni_ref, scal_ref, u_ref, px_ref, out_ref, *,
                             axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _run(n_valid, scal_f, u, px, lc, ns_occ, npl, egid, phong, atten_off_ig,
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def _run(n_valid, scal_f, u, px, lc, ns_occ, npl, egid, phong,
          atten_kind):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -191,7 +191,7 @@ def _run(n_valid, scal_f, u, px, lc, ns_occ, npl, egid, phong, atten_off_ig,
     B = pick_block(P)
     kern = functools.partial(
         _kernel, lc=lc, ns_occ=ns_occ, npl=npl, egid=egid, phong=phong,
-        atten=None, atten_kind=atten_kind)
+        atten_kind=atten_kind)
     out = pl.pallas_call(
         kern,
         grid=(P // B,),
@@ -221,7 +221,7 @@ def make_fused_chunk(jnp_reference, lc, ns_occ, npl, egid, phong,
     @jax.custom_vjp
     def fused(u, px, scal_f, n_valid):
         return _run(n_valid, scal_f, u, px, lc, ns_occ, npl, egid,
-                    phong, None, atten_kind)
+                    phong, atten_kind)
 
     def fwd(u, px, scal_f, n_valid):
         return fused(u, px, scal_f, n_valid), (u, px, scal_f, n_valid)
