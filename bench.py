@@ -139,7 +139,7 @@ def measure_scene4():
 def measure_scene5():
     """Transparent-mesh workload (glass dragon substitute, ~100k tris,
     stack integrator + per-ray EXACT kt shadow folds — the round-3
-    truncation fix) at 32² with 40-sample lights.  The exact transparent
+    truncation fix) at 16² with 40-sample lights.  The exact transparent
     path is the framework's most expensive configuration (every kt blocker
     along every shadow segment must be folded); full-size frames run
     minutes and are rendered host-tiled (make_host_tiled_renderer), so the

@@ -585,31 +585,18 @@ def shadow_shortlist(cs: ClusterSet, origin, cids, ok, ecenter, erad,
         return jnp.where(overlap, dist2, FLT_MAX)
 
     scores = jax.vmap(score_visit, out_axes=1)(jnp.arange(V))
-    # flat-triangle index per score lane, arithmetically from (visit, lane)
-    flat_ti = (cids[:, :, None] * C
-               + jnp.arange(C, dtype=jnp.int32)[None, None, :])  # (P, V, C)
     scores = scores.reshape(P, V * C)
-    flat_ti = flat_ti.reshape(P, V * C)
-    # K-smallest selection by ITERATIVE MIN EXTRACTION over the small
-    # (P, V·C) score block: K passes of min-reduce + first-index + mask —
-    # pure VPU sweeps.  top_k here lowered to a variadic (P, V·C) sort
-    # (measured 150-250 ms/frame on scene4 512² depending on how its index
-    # operand fused); K·(V·C) compare/selects are an order of magnitude
-    # cheaper, and the ascending-score-first-index order is identical
-    iota = jax.lax.broadcasted_iota(jnp.int32, (P, V * C), 1)
-    cur = scores
-    ti_cols, ok_cols = [], []
-    for _ in range(K):
-        m = cur.min(axis=1)                                # (P,)
-        is_m = cur == m[:, None]
-        first = jnp.min(jnp.where(is_m, iota, V * C), axis=1)   # (P,)
-        picked = iota == first[:, None]
-        ti_cols.append(
-            jnp.sum(jnp.where(picked, flat_ti, 0), axis=1))
-        ok_cols.append(m < FLT_MAX)
-        cur = jnp.where(picked, FLT_MAX, cur)
-    lane_ok = jnp.stack(ok_cols, axis=1)                   # (P, K)
-    ti = jnp.stack(ti_cols, axis=1)
+    # K-smallest selection over the small (P, V·C) score block via
+    # _k_smallest: K passes of min-reduce + first-index + mask — pure VPU
+    # sweeps.  top_k here lowered to a variadic (P, V·C) sort (measured
+    # 150-250 ms/frame on scene4 512² depending on how its index operand
+    # fused); K·(V·C) compare/selects are an order of magnitude cheaper,
+    # and the ascending-score-first-index order is identical.  (_k_smallest
+    # itself falls back to top_k for K > 32, guarding raised configs.)
+    vals, pos = _k_smallest(scores, K)                     # (P, K)
+    lane_ok = vals < FLT_MAX
+    # flat-triangle index recovered arithmetically from (visit, lane)
+    ti = (jnp.take_along_axis(cids, pos // C, axis=1) * C + pos % C)
     ti = jnp.where(lane_ok, ti, 0)
     blk = cs.flat[ti]                                      # (P, K, F)
     blk = jnp.swapaxes(blk, 1, 2)                          # (P, F, K)

@@ -78,11 +78,18 @@ def _hw_bits_2d(seed, rows, cols):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # block dims must DIVIDE the output dims: the grid below floor-divides,
+    # so a non-dividing block would leave trailing output blocks unwritten
+    # (uninitialized memory returned as "uniform" samples).  rows is
+    # sublane-aligned (multiple of 8) by the caller, so 8 always divides.
     block_rows = min(_BLOCK_ROWS, rows)
+    while rows % block_rows:
+        block_rows -= 8
     # wide blocks: fewer programs → fewer reseeds (the seed computation is
     # scalar-unit work serialized against the vector PRNG fill)
     block_cols = _COLS
-    while block_cols * 2 <= cols and block_rows * block_cols * 8 <= 2 ** 21:
+    while (block_cols * 2 <= cols and cols % (block_cols * 2) == 0
+           and block_rows * block_cols * 8 <= 2 ** 21):
         block_cols *= 2
     grid = (rows // block_rows, cols // block_cols)
 

@@ -261,11 +261,15 @@ def intersect_prim_sharded(ds: G.DeviceScene, static, sh: TriShards,
 
         ts, hs, nv, ow = jax.vmap(shard_test)(
             jnp.arange(S), sh.v0, sh.e1, sh.e2, sh.n, sh.eps)  # (S, *P)
-        owf = ow.astype(jnp.float32)
-        tt = jnp.sum(ts * owf, axis=0)
+        # owner-masked where, NOT ts * owner_float: a non-finite t on a
+        # non-owner lane (Möller-Trumbore's f=1/a can overflow for
+        # near-parallel rays) would make inf*0 = NaN poison the sum,
+        # whereas the replicated path only ever reads the gid-owner row
+        tt = jnp.sum(jnp.where(ow, ts, 0.0), axis=0)
         th = jnp.any(hs, axis=0)
-        tn = V3(jnp.sum(nv.x * owf, axis=0), jnp.sum(nv.y * owf, axis=0),
-                jnp.sum(nv.z * owf, axis=0))
+        tn = V3(jnp.sum(jnp.where(ow, nv.x, 0.0), axis=0),
+                jnp.sum(jnp.where(ow, nv.y, 0.0), axis=0),
+                jnp.sum(jnp.where(ow, nv.z, 0.0), axis=0))
     else:
         tt, th, tn = zero_t, zero_h, zero_v
 
