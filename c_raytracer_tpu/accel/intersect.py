@@ -51,6 +51,16 @@ class Intersector:
     # primitive-range sharding (SURVEY §2.5 row 3): triangle arrays split
     # over a mesh axis; folds all-reduce (geometry/sharded.py)
     shards: object | None = None
+    # separate cluster set for the shadow sweep when its cluster size
+    # differs (union mode defaults to C=128: full VPU lanes in the
+    # (P, lc, C) Möller-Trumbore, ~8× fewer clusters to prefilter/gather);
+    # None -> the main set
+    shadow_clusters: traverse.ClusterSet | None = None
+
+    @property
+    def _shadow_cs(self):
+        return (self.shadow_clusters if self.shadow_clusters is not None
+                else self.clusters)
 
     def closest(self, o: V3, d: V3):
         """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,)."""
@@ -201,15 +211,19 @@ class Intersector:
             any(self.static.is_transparent))
 
     @property
+    def resolved_shadow_mode(self) -> str:
+        return self.cfg.resolved_shadow_mode(
+            any(self.static.is_transparent))
+
+    @property
     def use_shared_shadows(self) -> bool:
-        """Whether soft shadows use the shared-origin capsule sweep
-        (shadow_query) or fall back to per-sample any_tint visit lists —
-        config.resolved_shadow_mode; transparent scenes default per_ray
-        (exact kt products at small budgets)."""
+        """Whether soft shadows go through shadow_query (the shared-origin
+        sweep — capsule lists in "shared" mode, exact per-sample-union
+        lists in "union" mode) or fall back to per-sample any_tint visit
+        lists ("per_ray")."""
         if self.clusters is None:
             return False
-        return self.cfg.resolved_shadow_mode(
-            any(self.static.is_transparent)) == "shared"
+        return self.resolved_shadow_mode in ("shared", "union")
 
     @property
     def has_clusters(self) -> bool:
@@ -221,16 +235,24 @@ class Intersector:
 
         origin: V3 (P,) per-pixel hit points; emitter_lo/hi: (3,) emitter
         AABB; dirs_fn(chunk_i) -> (ldir V3 (lc, P), ldist (lc, P)).
-        Returns (blocked (nchunks, lc, P), tint) where tint is
+        Returns (blocked (nchunks, lc, P), tint, spill_max) where tint is
         (tx, ty, tz) each (nchunks, lc, P) for scenes with transparent
         materials and None otherwise (opaque occlusion is fully captured
-        by ``blocked`` — no material data enters the sweep).
+        by ``blocked`` — no material data enters the sweep), and
+        spill_max is a scalar int32: union mode's worst per-pixel visit
+        truncation this query (0 everywhere proves the sweep exhaustive;
+        surfaced through render stats as the runtime truncation guard).
 
         Requires clusters (callers fall back to per-chunk ``any_tint``
-        otherwise).  Visit lists are computed once per pixel
-        (traverse.shadow_visit_order) and each cluster block is gathered
-        once per pixel while every sample chunk streams through it."""
-        has_transp = self.clusters.has_transp
+        otherwise).  Visit lists are computed once per pixel — from the
+        conservative capsule ("shared" mode, traverse.shadow_visit_order)
+        or the exact per-sample-segment union ("union" mode,
+        traverse.shadow_union_visit_order) — and each cluster block is
+        gathered once per pixel while every sample chunk streams through
+        it."""
+        scs = self._shadow_cs
+        has_transp = scs.has_transp
+        union_mode = self.resolved_shadow_mode == "union"
 
         # sphere/plane brute pre-pass per chunk (cheap: few primitives),
         # SoA; also materializes every chunk's sample dirs once for reuse
@@ -263,7 +285,17 @@ class Intersector:
         def sweep_one(cs, acc):
             """Visit list + (shortlist) sweep for ONE ClusterSet — run
             directly on the replicated set, vmapped over the shard axis
-            of a pr-stacked set."""
+            of a pr-stacked set.  Returns (acc, spill_max) — union mode's
+            runtime truncation guard (spill == 0 proves the kt product
+            swept every blocker; accel/validate.py policy)."""
+            if union_mode:
+                cids, ok, spill = traverse.shadow_union_visit_order(
+                    cs, origin_aos, cached_dirs, nchunks,
+                    self.cfg.resolved_union_visits(has_transp))
+                acc = traverse.any_hit_tint_shared(
+                    cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
+                    remat=remat)
+                return acc, jnp.max(spill)
             cids, ok = traverse.shadow_visit_order(
                 cs, origin_aos, emitter_lo, emitter_hi,
                 self._shadow_visits)
@@ -272,12 +304,14 @@ class Intersector:
                 # sample chunks against K triangles instead of visits×C
                 sblk, sgid, lane_ok = traverse.shadow_shortlist(
                     cs, origin_aos, cids, ok, ecenter, erad, k_short)
-                return traverse.any_hit_tint_shortlist(
+                acc = traverse.any_hit_tint_shortlist(
                     cs, origin_aos, sblk, sgid, lane_ok,
                     cached_dirs, nchunks, acc, remat=remat)
-            return traverse.any_hit_tint_shared(
+                return acc, jnp.int32(0)
+            acc = traverse.any_hit_tint_shared(
                 cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
                 remat=remat)
+            return acc, jnp.int32(0)
 
         if self.shards is not None:
             P = origin_aos.shape[0]
@@ -291,7 +325,8 @@ class Intersector:
                 t0 = jnp.ones((P, nc, lc, 3), jnp.float32)
                 return sweep_one(cs, (b0, t0))
 
-            acc_s = jax.vmap(per_shard)(self.clusters)
+            acc_s, spill_s = jax.vmap(per_shard)(scs)
+            spill_max = jnp.max(spill_s)
             if not has_transp:
                 blocked2 = blocked_pm | jnp.any(acc_s, axis=0)
             else:
@@ -305,20 +340,21 @@ class Intersector:
                 tint2 = tint_pm
         else:
             if not has_transp:
-                blocked2 = sweep_one(self.clusters, blocked_pm)
+                blocked2, spill_max = sweep_one(scs, blocked_pm)
             else:
                 tint_pm = jnp.moveaxis(jnp.stack([tx, ty, tz], -1), 2, 0)
-                blocked2, tint2 = sweep_one(self.clusters,
-                                            (blocked_pm, tint_pm))
+                (blocked2, tint2), spill_max = sweep_one(
+                    scs, (blocked_pm, tint_pm))
 
         # saved residual: backward skips the whole sweep (core/remat.py)
         blocked2 = remat_mod.name_occlusion(blocked2)
+        spill_max = jax.lax.stop_gradient(spill_max)
         if not has_transp:
-            return jnp.moveaxis(blocked2, 0, -1), None       # (nc, lc, P)
+            return jnp.moveaxis(blocked2, 0, -1), None, spill_max
         blocked_out = jnp.moveaxis(blocked2, 0, -1)          # (nc, lc, P)
         tint_out = jnp.moveaxis(tint2, 0, -2)                # (nc, lc, P, 3)
         return blocked_out, (tint_out[..., 0], tint_out[..., 1],
-                             tint_out[..., 2])
+                             tint_out[..., 2]), spill_max
 
     def emitter_bounds(self, egid: int):
         """(lo, hi) AABB of emitter primitive ``egid`` (host-static id)."""
@@ -362,6 +398,12 @@ def make_intersector(ds: G.DeviceScene, static, cfg,
     mode = cfg.accel
     if mode == "auto":
         mode = "cluster" if nt >= AUTO_THRESHOLD else "none"
+    any_transp = any(static.is_transparent)
+    c_shadow = cfg.resolved_shadow_cluster(any_transp)
+    want_shadow_set = (mode == "cluster" and nt
+                       and cfg.resolved_shadow_mode(any_transp)
+                       in ("shared", "union")
+                       and c_shadow != cfg.bvh_cluster)
     if shards is not None:
         # pr-sharded: pack per-shard clusters so each device runs the
         # sorted sweep over its own contiguous Morton range (brute range
@@ -369,8 +411,14 @@ def make_intersector(ds: G.DeviceScene, static, cfg,
         sclusters = (traverse.pack_clusters_sharded(shards, static,
                                                     cfg.bvh_cluster)
                      if (mode == "cluster" and nt) else None)
+        sshadow = (traverse.pack_clusters_sharded(shards, static, c_shadow)
+                   if want_shadow_set else None)
         return Intersector(ds=ds, static=static, cfg=cfg,
-                           clusters=sclusters, shards=shards)
+                           clusters=sclusters, shards=shards,
+                           shadow_clusters=sshadow)
     clusters = (traverse.pack_clusters(ds, static, cfg.bvh_cluster)
                 if (mode == "cluster" and nt) else None)
-    return Intersector(ds=ds, static=static, cfg=cfg, clusters=clusters)
+    shadow_clusters = (traverse.pack_clusters(ds, static, c_shadow)
+                       if want_shadow_set else None)
+    return Intersector(ds=ds, static=static, cfg=cfg, clusters=clusters,
+                       shadow_clusters=shadow_clusters)

@@ -389,15 +389,25 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
         # skip clusters that can't beat the running best: sorted entries
         # mean every later visit is farther (accel.c:341-352 pruning)
         live = ok[:, v] & (entry[:, v] < bt)
-        blk = cs.blk[cid]                                  # (R, 13, C)
-        t, hit = _mt_block(blk, o, d)
-        t = jnp.where(hit & live[:, None], t, FLT_MAX)
-        lane = jnp.argmin(t, axis=-1)
-        tmin = jnp.min(t, axis=-1)
-        better = tmin < bt
-        gid = cs.gid0 + cid * C + lane.astype(jnp.int32)
-        return (jnp.where(better, tmin, bt),
-                jnp.where(better, gid, bg)), None
+
+        def live_step(args):
+            bt, bg = args
+            blk = cs.blk[cid]                              # (R, 13, C)
+            t, hit = _mt_block(blk, o, d)
+            t = jnp.where(hit & live[:, None], t, FLT_MAX)
+            lane = jnp.argmin(t, axis=-1)
+            tmin = jnp.min(t, axis=-1)
+            better = tmin < bt
+            gid = cs.gid0 + cid * C + lane.astype(jnp.int32)
+            return (jnp.where(better, tmin, bt),
+                    jnp.where(better, gid, bg))
+
+        # dead-step skip: visit lists are front-packed (sorted by entry)
+        # and pruned by best-so-far, so once no ray is live the remaining
+        # scheduled visits do no work — a real scalar branch lets XLA skip
+        # the gather+MT body (the budget can be generous at no cost)
+        return jax.lax.cond(jnp.any(live), live_step,
+                            lambda args: args, (bt, bg)), None
 
     (bt, bg), _ = jax.lax.scan(body, (bt0, bg0), jnp.arange(V))
 
@@ -429,23 +439,31 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
     has_transp = cs.has_transp
 
     def body(acc, v):
-        blocked, tint = acc
         cid = cids[:, v]
         live = ok[:, v] & (entry[:, v] < max_dist)
-        blk = cs.blk[cid]
-        t, hit = _mt_block(blk, o, d)
-        gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
-        in_range = (hit & live[:, None] & (t < max_dist[:, None])
-                    & (gid != exclude_gid[:, None]))
-        if not has_transp:
-            blocked = blocked | jnp.any(in_range, axis=-1)
-        else:
-            transp = blk[:, _F_TRANSP]                     # (R, C) 0/1
-            fs = [jnp.where(in_range, transp * blk[:, _F_KT + c], 1.0)
-                  for c in range(3)]
-            tint = tint * jnp.stack(
-                [jnp.prod(f, axis=-1) for f in fs], axis=-1)
-        return (blocked, tint), None
+
+        def live_step(acc):
+            blocked, tint = acc
+            blk = cs.blk[cid]
+            t, hit = _mt_block(blk, o, d)
+            gid = cs.gid0 + cid[:, None] * C + jnp.arange(C,
+                                                          dtype=jnp.int32)
+            in_range = (hit & live[:, None] & (t < max_dist[:, None])
+                        & (gid != exclude_gid[:, None]))
+            if not has_transp:
+                blocked = blocked | jnp.any(in_range, axis=-1)
+            else:
+                transp = blk[:, _F_TRANSP]                 # (R, C) 0/1
+                fs = [jnp.where(in_range, transp * blk[:, _F_KT + c], 1.0)
+                      for c in range(3)]
+                tint = tint * jnp.stack(
+                    [jnp.prod(f, axis=-1) for f in fs], axis=-1)
+            return (blocked, tint)
+
+        # dead-step skip (see closest_hit_clusters): front-packed sorted
+        # visit lists make trailing slots all-dead
+        return jax.lax.cond(jnp.any(live), live_step,
+                            lambda acc: acc, acc), None
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
     return acc
@@ -487,6 +505,75 @@ def shadow_visit_order(cs: ClusterSet, origin, hull_lo, hull_hi,
     # top_k (see _visit_order): full-cluster-count keys favor the sort
     neg_top, idx = jax.lax.top_k(-key, V)
     return idx.astype(jnp.int32), -neg_top < FLT_MAX
+
+
+def shadow_union_visit_order(cs: ClusterSet, origin, dirs_fn, nchunks,
+                             visits: int):
+    """EXACT per-pixel visit list for a shared-origin shadow query: the
+    union over every light sample's segment-slab overlaps (the same
+    Williams slab test the per-ray sweep uses, accel.c:111-158), instead
+    of the conservative origin→emitter capsule of shadow_visit_order.
+
+    The capsule over-covers badly on transparent mesh scenes (scene5: the
+    fat per-pixel capsule needed ~ALL clusters for the exact kt product,
+    while the mean per-SEGMENT overlap is ~3) — the union is the tightest
+    per-pixel list that still guarantees every kt blocker of every sample
+    is swept, so gathers are shared across all S samples AND the list is
+    short.  Lists are sorted by cluster distance from the origin and
+    front-packed, so the sweep's per-visit dead-step cond exits after the
+    tile's true max union count; the static ``visits`` budget can be
+    generous at no streaming cost.
+
+    origin: (P, 3); dirs_fn(chunk_i) -> (d (P, lc, 3), max_dist (P, lc),
+    exclude).  Returns (cids (P, V), ok (P, V), spill (P,)) where spill =
+    union count minus V (spill == 0 proves the sweep exhaustive —
+    accel/validate.py policy)."""
+    origin = jax.lax.stop_gradient(origin)
+    K = cs.lo.shape[0]
+    P = origin.shape[0]
+    V = max(1, min(visits, K))
+
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]  # (P, 1)
+    lox, loy, loz = cs.lo[:, 0][None], cs.lo[:, 1][None], cs.lo[:, 2][None]
+    hix, hiy, hiz = cs.hi[:, 0][None], cs.hi[:, 1][None], cs.hi[:, 2][None]
+
+    def seg_overlap(d, md):
+        """(P, K) slab overlap of one sample's segment per pixel.
+        d: (P, 3), md: (P,).  Componentwise — no (P, K, 3) tensors."""
+        tmin = jnp.full((P, K), -FLT_MAX)
+        tmax = jnp.full((P, K), FLT_MAX)
+        for dc, lo_c, hi_c, oc in ((d[:, 0:1], lox, hix, ox),
+                                   (d[:, 1:2], loy, hiy, oy),
+                                   (d[:, 2:3], loz, hiz, oz)):
+            dd = jnp.where(jnp.abs(dc) < 1e-30, 1e-30, dc)
+            inv = 1.0 / dd
+            t1 = (lo_c - oc) * inv
+            t2 = (hi_c - oc) * inv
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        entry = jnp.maximum(tmin, 0.0)
+        return (tmax >= entry) & (entry < md[:, None])
+
+    def chunk_body(union, chunk_i):
+        d, md, _ = dirs_fn(chunk_i)                    # (P, lc, 3), (P, lc)
+        lc = md.shape[1]
+
+        def sample_body(union, s):
+            return union | seg_overlap(d[:, s, :], md[:, s]), None
+
+        union, _ = jax.lax.scan(sample_body, union, jnp.arange(lc))
+        return union, None
+
+    union0 = jnp.zeros((P, K), bool)
+    union, _ = jax.lax.scan(chunk_body, union0, jnp.arange(nchunks))
+
+    n_union = jnp.sum(union, axis=-1)                  # (P,)
+    spill = jnp.maximum(n_union - V, 0)
+    center = 0.5 * (cs.lo + cs.hi)
+    rel = center[None, :, :] - origin[:, None, :]
+    key = jnp.where(union, jnp.sum(rel * rel, -1), FLT_MAX)
+    vals, idx = _k_smallest(key, V)                    # top_k path for V>32
+    return idx.astype(jnp.int32), vals < FLT_MAX, spill
 
 
 def _mt_block_multi(blk, o, d):
@@ -664,31 +751,41 @@ def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,
     def visit_body(acc, v):
         cid = cids[:, v]
         live = ok[:, v]
-        blk = cs.blk[cid]                                  # (P, F, C)
-        gid = cs.gid0 + cid[:, None] * C + jnp.arange(C, dtype=jnp.int32)
 
-        def chunk_body(acc, chunk_i):
-            d, max_dist, exclude_gid = dirs_fn(chunk_i)
-            t, hit = _mt_block_multi(blk, origin, d)       # (P, lc, C)
-            in_range = (hit & live[:, None, None]
-                        & (t < max_dist[..., None])
-                        & (gid[:, None, :] != exclude_gid[..., None]))
-            if not has_transp:
-                blocked = acc
-                blk_here = jnp.any(in_range, axis=-1)
-                return blocked.at[:, chunk_i].set(
-                    blocked[:, chunk_i] | blk_here), None
-            blocked, tint = acc
-            transp = blk[:, _F_TRANSP]                     # (P, C) 0/1
-            fs = [jnp.where(in_range,
-                            (transp * blk[:, _F_KT + c])[:, None, :], 1.0)
-                  for c in range(3)]
-            ktp = jnp.stack([jnp.prod(f, axis=-1) for f in fs], axis=-1)
-            tint = tint.at[:, chunk_i].multiply(ktp)
-            return (blocked, tint), None
+        def live_visit(acc):
+            blk = cs.blk[cid]                              # (P, F, C)
+            gid = cs.gid0 + cid[:, None] * C + jnp.arange(C,
+                                                          dtype=jnp.int32)
 
-        acc, _ = jax.lax.scan(chunk_body, acc, jnp.arange(nchunks))
-        return acc, None
+            def chunk_body(acc, chunk_i):
+                d, max_dist, exclude_gid = dirs_fn(chunk_i)
+                t, hit = _mt_block_multi(blk, origin, d)   # (P, lc, C)
+                in_range = (hit & live[:, None, None]
+                            & (t < max_dist[..., None])
+                            & (gid[:, None, :] != exclude_gid[..., None]))
+                if not has_transp:
+                    blocked = acc
+                    blk_here = jnp.any(in_range, axis=-1)
+                    return blocked.at[:, chunk_i].set(
+                        blocked[:, chunk_i] | blk_here), None
+                blocked, tint = acc
+                transp = blk[:, _F_TRANSP]                 # (P, C) 0/1
+                fs = [jnp.where(
+                    in_range, (transp * blk[:, _F_KT + c])[:, None, :],
+                    1.0) for c in range(3)]
+                ktp = jnp.stack([jnp.prod(f, axis=-1) for f in fs],
+                                axis=-1)
+                tint = tint.at[:, chunk_i].multiply(ktp)
+                return (blocked, tint), None
+
+            acc, _ = jax.lax.scan(chunk_body, acc, jnp.arange(nchunks))
+            return acc
+
+        # dead-step skip: visit lists are front-packed (sorted, masked
+        # tail), so the scan exits real work after the batch's true max
+        # list length — union mode's generous static budget relies on it
+        return jax.lax.cond(jnp.any(live), live_visit,
+                            lambda acc: acc, acc), None
 
     # remat per visit: the (P, lc, C) Möller-Trumbore intermediates of
     # every (visit, chunk) step must not be saved for the backward pass

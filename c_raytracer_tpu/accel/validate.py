@@ -28,6 +28,12 @@ the reference's exhaustive BVH walk (accel.c:322-387).  The policy:
   are not individually provable this way; ``tuned_config`` applies the
   measured primary budget times a headroom factor, and ``accel='none'``
   remains the always-exact fallback.
+* **runtime guard (union shadow mode)** — the r4 union sweep counts its
+  OWN truncation on every render: ``shadow_union_visit_order`` returns
+  per-pixel spill, the integrator carries the frame max in the stats
+  vector (``shadow_spill_max``), and the CLI warns loudly under
+  ``--stats`` when it is nonzero — silent kt truncation cannot ship a
+  wrong frame on the default transparent path.
 """
 
 from __future__ import annotations

@@ -171,6 +171,18 @@ def main(argv=None) -> int:
             total, float(stats["main_rays"]), float(stats["shadow_rays"]),
             float(stats["gi_rays"]), float(stats["dropped"]), dt,
             total / dt)
+        spill = float(stats.get("shadow_spill_max", 0.0))
+        if spill > 0:
+            # runtime truncation guard: a transparent scene with shadow
+            # spill can silently leak light (lost kt factors).  Loud, not
+            # fatal — raise bvh_shadow_visits or use --accel-tune.
+            printf_log(
+                "WARNING: shadow visit budget EXCEEDED by up to %.0f "
+                "clusters per pixel — the kt tint product may have "
+                "dropped blockers (light leak).  Raise bvh_shadow_visits "
+                "or run with --accel-tune.", spill)
+        else:
+            printf_log("Shadow sweep exhaustive (spill 0).")
     else:
         img, z = render(scene, cfg, resx, resy, key)
     img = np.asarray(img)

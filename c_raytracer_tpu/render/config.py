@@ -108,14 +108,45 @@ class RenderConfig:
     # per-sample slab-test visit lists (any_hit_tint_clusters) — thin
     # segments overlap few clusters (scene5: mean ~3, max ~60), so a
     # modest visit budget is exact where the fat per-pixel capsule needed
-    # ALL ~6300 clusters for the kt tint product.  "auto" picks shared for
-    # opaque scenes and per_ray for transparent ones.
-    shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray"
+    # ALL ~6300 clusters for the kt tint product.  "union" = shared-origin
+    # sweep over the EXACT per-pixel union of every sample's segment-slab
+    # overlaps (traverse.shadow_union_visit_order): the same exactness
+    # guarantee as per_ray (spill-counted), with each cluster block
+    # gathered once per pixel instead of once per (sample, visit) and
+    # dead visit slots skipped by a per-step cond — the round-4 work
+    # compaction for transparent scenes.  "auto" picks shared for opaque
+    # scenes and union for transparent ones.
+    shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray" | "union"
+
+    # cluster size for the SHADOW sweep's cluster set; None -> auto:
+    # bvh_cluster for shared/per_ray, 128 for union mode — the union
+    # sweep's Möller-Trumbore runs (P, lc, C) shapes whose minor axis is
+    # the cluster lane, so C=128 fills the VPU lanes (C=16 measured 12.5%
+    # lane utilization, PERFORMANCE.md round 3) and fewer/fatter clusters
+    # cut both the prefilter (K 8× smaller) and the gather row count.
+    bvh_shadow_cluster: int | None = None
 
     def resolved_shadow_mode(self, any_transparent: bool) -> str:
         if self.shadow_mode != "auto":
             return self.shadow_mode
-        return "per_ray" if any_transparent else "shared"
+        return "union" if any_transparent else "shared"
+
+    def resolved_shadow_cluster(self, any_transparent: bool) -> int:
+        if self.bvh_shadow_cluster is not None:
+            return self.bvh_shadow_cluster
+        if self.resolved_shadow_mode(any_transparent) == "union":
+            return 128
+        return self.bvh_cluster
+
+    def resolved_union_visits(self, any_transparent: bool) -> int:
+        """Visit budget for union mode.  Generous by design: the sweep's
+        per-step dead cond makes unused slots cost one scalar predicate,
+        so the budget only bounds worst-case compile shape; 64 covers the
+        measured scene5 per-pixel unions at C=128 with wide margin (spill
+        is counted and warned on, accel/validate.py policy)."""
+        if self.bvh_shadow_visits is not None:
+            return self.bvh_shadow_visits
+        return 64
 
     def resolved_visits(self, any_transparent: bool) -> int:
         if self.bvh_visits is not None:

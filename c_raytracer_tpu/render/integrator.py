@@ -166,6 +166,7 @@ def _round_shade(ix, static, cfg, k_shade, k_gi, ro: V3, rd: V3, rkr: V3,
         t=t, gid=gid, hit=hit, active_hit=active_hit, contrib=contrib,
         z_val=z_val, hit_pt=aux["hit_pt"],
         push_refl=push_refl, refl_d=refl_d, refl_kr=refl_kr,
+        shadow_spill=aux.get("shadow_spill", jnp.int32(0)),
     )
 
     if with_refraction:
@@ -209,7 +210,7 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
     z0 = jnp.zeros(P, jnp.float32)
     kr0 = v3m.ones(P)
     live0 = jnp.ones(P, bool)
-    stats0 = jnp.zeros((5,), jnp.float32)
+    stats0 = jnp.zeros((6,), jnp.float32)
 
     def round_body(carry, round_i):
         (ro, rd, rkr, live, color, z, stats) = carry
@@ -241,7 +242,10 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
             n_hit * jnp.where(is_primary, gi_p, gi_s),          # gi rays
             jnp.sum(live2.astype(jnp.float32)),                 # children
             jnp.float32(0.0),                                   # dropped
+            jnp.float32(0.0),                                   # spill (max)
         ])
+        stats = stats.at[5].set(jnp.maximum(
+            stats[5], r["shadow_spill"].astype(jnp.float32)))
         return (r["hit_pt"], r["refl_d"], r["refl_kr"], live2, color, z,
                 stats)
 
@@ -343,7 +347,7 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
     st0 = _stack_init(o, d, cfg.max_bounces, cfg.stack_size)
     color0 = v3m.zeros(P)
     z0 = jnp.zeros(P, jnp.float32)
-    stats0 = jnp.zeros((5,), jnp.float32)
+    stats0 = jnp.zeros((6,), jnp.float32)
 
     def round_body(carry, round_i):
         st_in, color_in, z_in, stats_in = carry
@@ -395,7 +399,10 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
             (n_hit * gi_s + n_primary_hit * (gi_p - gi_s)),  # gi rays
             jnp.sum(pushed),                                # children pushed
             jnp.sum(wanted.astype(jnp.float32)) - jnp.sum(pushed),  # dropped
+            jnp.float32(0.0),                               # spill (max)
         ])
+        stats = stats.at[5].set(jnp.maximum(
+            stats[5], r["shadow_spill"].astype(jnp.float32)))
         return (st, color, z, stats)
 
     body = remat_mod.checkpoint(round_body) if cfg.remat else round_body
@@ -416,6 +423,10 @@ def _finish(color: V3, z, stats, with_stats):
             gi_rays=stats[2],
             children_pushed=stats[3],
             dropped=stats[4],
+            # union shadow mode's runtime truncation guard: worst
+            # per-pixel visit spill across all rounds/emitters (0 proves
+            # every kt blocker was swept; GI child shades not counted)
+            shadow_spill_max=stats[5],
         )
         return color, z, stats_dict
     return color, z

@@ -286,13 +286,16 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                  is_outside, tex_col: V3, active) -> V3:
     """Soft-shadow direct lighting over all emitters (render.c:170-229).
 
-    All per-lane inputs are (P,); returns V3 (P,) summed contribution.
+    All per-lane inputs are (P,); returns (V3 (P,) summed contribution,
+    shadow_spill scalar int32 — the worst union-sweep truncation across
+    emitters, 0 when exhaustive or when the mode carries no counter).
     Per emitter: ke/num_lights intensity per sample, num_lights samples
     scanned in chunks of cfg.light_chunk, each chunk an (lc, P) SoA batch.
     """
     ds = ix.ds
     P = jnp.shape(hit_pt.x)
     total = v3m.zeros(P)
+    spill_max = jnp.int32(0)
     phong = cfg.reflection_model == REFLECTION_PHONG
 
     for e_i, egid in enumerate(static.emitter_prims):
@@ -342,8 +345,10 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             # (shadow_mode auto: thin per-sample segments keep the kt
             # product exact at small visit budgets, see config.py)
             elo, ehi = ix.emitter_bounds(egid)
-            shadow_all = ix.shadow_query(
+            blocked_all, tint_all, sp = ix.shadow_query(
                 hit_pt, elo, ehi, light_dirs, egid, nchunks, lc)
+            shadow_all = (blocked_all, tint_all)
+            spill_max = jnp.maximum(spill_max, sp)
         else:
             shadow_all = None
 
@@ -460,7 +465,7 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
         body = remat.checkpoint(chunk_body) if cfg.remat else chunk_body
         acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(nchunks))
         total = total + acc
-    return total
+    return total, spill_max
 
 
 def shade_basic(ix, static: T.SceneStatic, cfg: RenderConfig,
@@ -481,10 +486,11 @@ def shade_basic(ix, static: T.SceneStatic, cfg: RenderConfig,
     tex_col = texture_color_soa(ds.materials, static, mat, hit_pt)
 
     color = mat3(ds.materials.ke, mat)  # emittance (render.c:164)
-    color = color + direct_light(
+    direct, shadow_spill = direct_light(
         ix, static, cfg, key, hit_pt, normal, d, gid, mat, is_outside,
         tex_col, active)
+    color = color + direct
     color = v3m.where(active, color, 0.0)
     aux = dict(hit_pt=hit_pt, mat=mat, b=b, is_outside=is_outside,
-               tex_col=tex_col, hit=hit)
+               tex_col=tex_col, hit=hit, shadow_spill=shadow_spill)
     return color, aux

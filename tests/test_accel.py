@@ -186,10 +186,11 @@ class TestShadowShortlist:
 
         base_cfg = RenderConfig(accel="cluster", bvh_cluster=16,
                                 bvh_visits=64)
-        b0, t0 = run(dataclasses.replace(base_cfg, bvh_shadow_shortlist=0))
+        b0, t0, _ = run(dataclasses.replace(base_cfg,
+                                            bvh_shadow_shortlist=0))
         # K = all triangles: the shortlist can never drop a candidate
-        b1, t1 = run(dataclasses.replace(base_cfg,
-                                         bvh_shadow_shortlist=512))
+        b1, t1, _ = run(dataclasses.replace(base_cfg,
+                                            bvh_shadow_shortlist=512))
         np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
         for a, b in zip(t0, t1):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -407,6 +408,95 @@ class TestTransparentSceneDefaults:
             ix.clusters, o, lo, hi, K, 10_000))()
         assert int(jnp.max(cl_sp)) == 0
         assert int(jnp.max(tri_sp)) == 0
+
+
+class TestUnionShadowMode:
+    """Round-4 work compaction: shadow_mode="union" sweeps the EXACT
+    per-pixel union of every sample segment's slab overlaps
+    (traverse.shadow_union_visit_order) — same guarantee as per_ray, with
+    each cluster block gathered once per pixel and dead visit slots
+    cond-skipped.  Default for transparent scenes (config.py)."""
+
+    @pytest.fixture(scope="class")
+    def soup(self):
+        from test_parallel import _lit_soup
+        return reorder_scene(_lit_soup())
+
+    def test_union_matches_per_ray_and_brute(self, soup):
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        imgs = {}
+        for name, cfg in {
+            "brute": RenderConfig(max_bounces=3, rounds=5, accel="none",
+                                  light_chunk=4),
+            "per_ray": RenderConfig(max_bounces=3, rounds=5,
+                                    accel="cluster",
+                                    shadow_mode="per_ray", light_chunk=4),
+            "union": RenderConfig(max_bounces=3, rounds=5, accel="cluster",
+                                  shadow_mode="union", light_chunk=4),
+            # non-default shadow cluster size exercises the separate
+            # shadow ClusterSet packing
+            "union_c32": RenderConfig(max_bounces=3, rounds=5,
+                                      accel="cluster", shadow_mode="union",
+                                      bvh_shadow_cluster=32,
+                                      light_chunk=4),
+        }.items():
+            fn = make_renderer(soup.static, cfg, 24, 24)
+            img, _ = fn(soup.params, key)
+            imgs[name] = np.asarray(img)
+        assert imgs["brute"].max() > 1e-3, "frame must be lit"
+        for name in ("per_ray", "union", "union_c32"):
+            ad = np.abs(imgs[name] - imgs["brute"])
+            denom = np.maximum(np.abs(imgs["brute"]), 1e-6)
+            assert float((ad / denom).max()) < 1e-3, name
+
+    def test_runtime_spill_guard(self, soup):
+        """The render stats surface union-sweep truncation: a starved
+        visit budget must report spill > 0 (the loud-warning trigger in
+        cli/engine.py), the default generous budget spill == 0 (the
+        provable-exhaustive policy)."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        f_ok = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster", shadow_mode="union",
+            light_chunk=4), 16, 16, with_stats=True)
+        _, _, stats_ok = f_ok(soup.params, key)
+        assert float(stats_ok["shadow_spill_max"]) == 0.0
+
+        f_starved = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster", shadow_mode="union",
+            bvh_shadow_visits=1, light_chunk=4), 16, 16, with_stats=True)
+        _, _, stats_bad = f_starved(soup.params, key)
+        assert float(stats_bad["shadow_spill_max"]) > 0.0
+
+    def test_union_grads_match_brute(self, soup):
+        """Vertex/material gradients through the union sweep vs brute."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(3)
+        w = jax.random.uniform(jax.random.PRNGKey(5), (16, 16, 3))
+
+        def loss_with(cfg):
+            fn = make_renderer(soup.static, cfg, 16, 16, jit=False)
+            return lambda p: jnp.sum(fn(p, key)[0] * w)
+
+        gb = jax.jit(jax.grad(loss_with(RenderConfig(
+            max_bounces=2, rounds=3, accel="none",
+            light_chunk=4))))(soup.params)
+        gu = jax.jit(jax.grad(loss_with(RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster", shadow_mode="union",
+            light_chunk=4))))(soup.params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(gb)[0],
+                jax.tree_util.tree_flatten_with_path(gu)[0]):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(a).max(), np.abs(b).max())
+            if scale < 1e-6:
+                continue  # both pure float noise (e.g. focal_length,
+                #           whose true gradient is exactly 0)
+            assert np.allclose(a, b, atol=1e-4 * scale), (
+                jax.tree_util.keystr(path))
 
 
 @pytest.mark.skipif(not os.environ.get("CRT_SLOW"),

@@ -330,6 +330,36 @@ class TestPrSharding:
             np.asarray(z0), np.asarray(z1), atol=1e-5)
 
     @needs_8_devices
+    def test_pr_shortlist_matches_single_at_spill0(self):
+        """pr-sharding × shadow SHORTLIST, pinned at a spill==0 config
+        (VERDICT r3 #6): with K ≥ the total triangle count the shortlist
+        can never drop a candidate on either side, so the per-shard
+        shortlists (which otherwise keep n_pr× more candidates than the
+        replicated one and legitimately diverge under truncation) must
+        reproduce the single-device render exactly.  Under truncation the
+        combination remains intentionally unpinned — use spill==0 configs
+        (accel/validate.py tuned_config) when sharding with shortlists."""
+        from c_raytracer_tpu.accel.build import reorder_scene
+        lit_op = reorder_scene(_lit_soup(transparent=False))
+        nt = lit_op.static.n_triangles
+        cfg = RenderConfig(max_bounces=2, rounds=3, accel="cluster",
+                           light_chunk=4, bvh_visits=64,
+                           bvh_shadow_visits=64,
+                           bvh_shadow_shortlist=nt)  # K=all: no truncation
+        key = jax.random.PRNGKey(4)
+        single = make_renderer(lit_op.static, cfg, 24, 24)
+        img0, z0 = single(lit_op.params, key)
+        assert float(jnp.max(img0)) > 1e-3, "test frame must be lit"
+
+        mesh = make_mesh(n_px=2, n_sp=1, n_pr=4)
+        sharded_fn = make_sharded_renderer(lit_op.static, cfg, 24, 24, mesh)
+        img1, z1 = sharded_fn(lit_op.params, key)
+        np.testing.assert_allclose(
+            np.asarray(img0), np.asarray(img1), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(z0), np.asarray(z1), atol=1e-5)
+
+    @needs_8_devices
     def test_pr_train_step_grads(self, lit):
         """Gradient flow through the pr-sharded training step — the exact
         path the driver's multichip gate runs (grad through the per-shard

@@ -11,6 +11,7 @@ differences and soft-shadow Monte-Carlo noise are expected
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -184,3 +185,88 @@ class TestFusedShadow:
         assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
         gmax = max(float(jnp.max(jnp.abs(x))) for x in leaves)
         assert gmax > 0
+
+
+class TestHostTiledGrads:
+    """make_host_tiled_value_and_grad: per-tile-batch gradient
+    accumulation must equal jax.grad of the same loss through the
+    single-program renderer at the same tile decomposition (VERDICT r3
+    #4 — unblocks training on frames that exceed one device call)."""
+
+    def _setup(self):
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.accel.build import reorder_scene
+        scene = reorder_scene(_lit_soup())
+        cfg = RenderConfig(max_bounces=2, rounds=3, accel="cluster",
+                           light_chunk=4, tile_size=128)  # 24x24 -> 5 tiles
+        key = jax.random.PRNGKey(9)
+        w = np.asarray(jax.random.uniform(jax.random.PRNGKey(21),
+                                          (24 * 24, 3)), np.float32)
+        return scene, cfg, key, w
+
+    def test_matches_single_call_grads(self):
+        from c_raytracer_tpu.render import (make_host_tiled_value_and_grad,
+                                            make_renderer)
+        scene, cfg, key, w = self._setup()
+
+        def pixel_loss(color, z, target):
+            return jnp.sum(color * target, axis=-1)
+
+        vg = make_host_tiled_value_and_grad(
+            scene.static, cfg, 24, 24, pixel_loss, tiles_per_call=2)
+        loss_t, g_t = vg(scene.params, key, target=jnp.asarray(w))
+
+        fn = make_renderer(scene.static, cfg, 24, 24, jit=False)
+
+        def whole_loss(params):
+            img, _ = fn(params, key)
+            return jnp.sum(img.reshape(-1, 3) * w)
+
+        loss_s, g_s = jax.jit(jax.value_and_grad(whole_loss))(scene.params)
+
+        assert abs(loss_t - float(loss_s)) <= 1e-6 * max(abs(loss_t), 1.0)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_t)[0],
+                jax.tree_util.tree_flatten_with_path(g_s)[0]):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(a).max(), np.abs(b).max())
+            if scale < 1e-6:
+                continue  # pure float noise (focal_length's true grad = 0)
+            # 1e-5·scale: float summation-order noise (batch-wise grad
+            # accumulation vs one backward) measures ~5e-6 relative
+            assert np.allclose(a, b, atol=1e-5 * scale), (
+                jax.tree_util.keystr(path))
+
+    def test_train_steps_reduce_loss(self):
+        """A few SGD steps on materials through the host-tiled grad path
+        must reduce an image-matching loss — the flagship trainability
+        contract."""
+        import dataclasses
+        from c_raytracer_tpu.render import (make_host_tiled_value_and_grad,
+                                            make_renderer)
+        scene, cfg, key, _ = self._setup()
+
+        # target: the same scene with brighter ambient — recoverable by
+        # material-space descent
+        target_params = dataclasses.replace(
+            scene.params, ambient=scene.params.ambient * 2.0)
+        fwd = make_renderer(scene.static, cfg, 24, 24)
+        target = np.asarray(fwd(target_params, key)[0]).reshape(-1, 3)
+
+        def pixel_loss(color, z, tgt):
+            return jnp.sum((color - tgt) ** 2, axis=-1)
+
+        vg = make_host_tiled_value_and_grad(
+            scene.static, cfg, 24, 24, pixel_loss)
+        params = scene.params
+        losses = []
+        for i in range(5):
+            loss, g = vg(params, key, target=jnp.asarray(target))
+            losses.append(loss)
+            # lr ~ the quadratic-fit optimum for this loss scale (the
+            # loss is ~k|ambient - target|^2 with 2k ~ loss0/|delta|^2)
+            params = dataclasses.replace(
+                params, ambient=params.ambient - 1.5 * g.ambient)
+        assert losses[-1] < losses[0] * 0.7, losses

@@ -61,7 +61,9 @@ def main(counts):
         img.block_until_ready()
         dt = time.perf_counter() - t0
         results.append({"devices": n, "seconds": round(dt, 4),
-                        "temp_bytes_per_device": int(ma.temp_size_in_bytes)})
+                        "temp_bytes_per_device": int(ma.temp_size_in_bytes),
+                        "argument_bytes_per_device":
+                            int(ma.argument_size_in_bytes)})
         print(json.dumps(results[-1]), flush=True)
 
     base = results[0]["seconds"]
