@@ -14,16 +14,33 @@ XLA dead-code-eliminate the entire occlusion re-trace — the Möller-Trumbore
 (Transparent scenes still re-trace in backward: the kt shadow *tint* is a
 real differentiable product over blockers, so its VJP needs the in-range
 masks.  ``blocked`` is saved there too; only the tint path recomputes.)
+
+Round 4 adds two more named residual classes, selectable via
+``RenderConfig.remat_names`` (the fwd+bwd ratio lever, VERDICT r3 #9):
+
+* ``shadow_samples`` — the barrier'd sampled light directions/distances
+  (sin/cos of the PRNG draw).  Saving them skips the per-chunk sampling
+  re-trace in backward at (lc, P)·4 f32 per chunk.
+* ``shade_terms`` — the barrier'd diffuse cosine and specular power
+  (the powf).  Saving skips the transcendental recompute at
+  (lc, P)·2 f32 per chunk.
+
+Both trade HBM for backward ALU — measure per scene; the default saves
+only occlusion (the always-win).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 from jax.ad_checkpoint import checkpoint_name
 
 OCCLUSION = "occlusion"
+SHADOW_SAMPLES = "shadow_samples"
+SHADE_TERMS = "shade_terms"
 
-_POLICY = jax.checkpoint_policies.save_only_these_names(OCCLUSION)
+DEFAULT_NAMES = (OCCLUSION,)
 
 
 def name_occlusion(x):
@@ -31,6 +48,20 @@ def name_occlusion(x):
     return checkpoint_name(x, OCCLUSION)
 
 
-def checkpoint(f):
-    """``jax.checkpoint`` that saves occlusion-named values."""
-    return jax.checkpoint(f, policy=_POLICY)
+def name_shadow_samples(x):
+    return checkpoint_name(x, SHADOW_SAMPLES)
+
+
+def name_shade_terms(x):
+    return checkpoint_name(x, SHADE_TERMS)
+
+
+@functools.lru_cache(maxsize=None)
+def _policy(names: tuple):
+    return jax.checkpoint_policies.save_only_these_names(*names)
+
+
+def checkpoint(f, names: tuple = DEFAULT_NAMES):
+    """``jax.checkpoint`` that saves the given named values (default:
+    occlusion masks only)."""
+    return jax.checkpoint(f, policy=_policy(tuple(names)))

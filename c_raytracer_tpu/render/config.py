@@ -51,6 +51,12 @@ class RenderConfig:
     # of the shadow/GI chunk scans otherwise exceed HBM at production
     # resolutions (trade FLOPs for memory, the standard TPU recipe)
     remat: bool = True
+    # which named intermediates survive remat boundaries (core/remat.py):
+    # "occlusion" (bool masks, always a win) and optionally
+    # "shadow_samples" / "shade_terms" — saving the barrier'd sampling
+    # trig and powf skips their backward re-trace at (lc, P) f32 HBM cost
+    # per chunk (the fwd+bwd ratio lever; measure per scene)
+    remat_names: tuple = ("occlusion",)
 
     # acceleration structure (reference accel.c LBVH -> cluster sweep,
     # c_raytracer_tpu/accel/): "auto" | "none" | "cluster".

@@ -110,7 +110,8 @@ def _gi_path(ix, ds, static, cfg, key, aux, normal: V3, remaining, active):
         child_color = v3m.where(lane_ok & (cgid >= 0), child_color, 0.0)
         return acc + child_color, None
 
-    body = remat_mod.checkpoint(sample_body) if cfg.remat else sample_body
+    body = (remat_mod.checkpoint(sample_body, cfg.remat_names)
+            if cfg.remat else sample_body)
     acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(n_max))
     return acc
 
@@ -249,7 +250,8 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
         return (r["hit_pt"], r["refl_d"], r["refl_kr"], live2, color, z,
                 stats)
 
-    body = remat_mod.checkpoint(round_body) if cfg.remat else round_body
+    body = (remat_mod.checkpoint(round_body, cfg.remat_names)
+            if cfg.remat else round_body)
     (_, _, _, _, color, z, stats), _ = jax.lax.scan(
         body, (o, d, kr0, live0, color0, z0, stats0), jnp.arange(rounds))
     return _finish(color, z, stats, with_stats)
@@ -405,7 +407,8 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
             stats[5], r["shadow_spill"].astype(jnp.float32)))
         return (st, color, z, stats)
 
-    body = remat_mod.checkpoint(round_body) if cfg.remat else round_body
+    body = (remat_mod.checkpoint(round_body, cfg.remat_names)
+            if cfg.remat else round_body)
     (stf, color, z, stats), _ = jax.lax.scan(
         body, (st0, color0, z0, stats0), jnp.arange(rounds))
     return _finish(color, z, stats, with_stats)

@@ -395,8 +395,8 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                 out = _f(u, _px, _sf, nv)
                 return acc + V3(out[0], out[1], out[2]), None
 
-            fbody = (remat.checkpoint(fused_chunk_body) if cfg.remat
-                     else fused_chunk_body)
+            fbody = (remat.checkpoint(fused_chunk_body, cfg.remat_names)
+                     if cfg.remat else fused_chunk_body)
             acc, _ = jax.lax.scan(fbody, v3m.zeros(P), jnp.arange(nchunks))
             total = total + acc
             continue
@@ -415,7 +415,8 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             # frame)
             ldir_t, ldist = jax.lax.optimization_barrier(
                 ((ldir.x, ldir.y, ldir.z), ldist))
-            ldir = V3(*ldir_t)
+            ldir = V3(*(remat.name_shadow_samples(c) for c in ldir_t))
+            ldist = remat.name_shadow_samples(ldist)
             nrm_b = normal.map(lambda a: a[None])
             a = v3m.dot(ldir, nrm_b)
 
@@ -449,6 +450,8 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             cos_d, spec_p = jax.lax.optimization_barrier(
                 (cmath.fmaxf_zero(a),
                  cmath.fmax0_powf(spec_mul, shin[None])))
+            cos_d = remat.name_shade_terms(cos_d)
+            spec_p = remat.name_shade_terms(spec_p)
             diffuse = tex_col.map(lambda x: x[None]) * incoming * cos_d
             spec = ksv.map(lambda x: x[None]) * incoming * spec_p
 
@@ -462,7 +465,8 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
         # remat each chunk in the backward pass (saving only the named
         # occlusion masks): per-chunk MT/shade residuals are (lc, P)-shaped
         # and explode HBM at production resolutions
-        body = remat.checkpoint(chunk_body) if cfg.remat else chunk_body
+        body = (remat.checkpoint(chunk_body, cfg.remat_names)
+                if cfg.remat else chunk_body)
         acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(nchunks))
         total = total + acc
     return total, spill_max
