@@ -1,0 +1,116 @@
+"""The BASELINE flagship config, end to end (BASELINE.json configs[4]):
+scene5 (glass dragon-class mesh, ~100k tris), path-traced global
+illumination at spp hemisphere samples, differentiable materials.
+
+Two phases, both recorded as one JSON line each:
+
+1. **forward** — host-tiled path-traced render at (res, spp, lights):
+   the exact transparent pipeline (union shadow sweeps, spill-guarded)
+   through make_host_tiled_renderer, one bounded device program per tile.
+2. **train** — a few SGD steps on the glass material's kt against a
+   target frame, gradients through make_host_tiled_value_and_grad (the
+   round-4 differentiable host-tiled path): loss must decrease.
+
+Usage:  python tools/flagship_s5.py [res] [spp] [lights] [train_res]
+Defaults (64, 64, 100, 24) fit the axon tunnel's device-call budget;
+raise spp to 256 for the full BASELINE line on unrestricted hardware.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c_raytracer_tpu.accel.build import reorder_scene
+from c_raytracer_tpu.render import (RenderConfig, make_host_tiled_renderer,
+                                    make_host_tiled_value_and_grad)
+from c_raytracer_tpu.scene import load_scene
+
+RES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+NL = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+TRAIN_RES = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+
+
+def cap_lights(scene, nl):
+    lights = tuple(min(n, nl) for n in scene.static.num_lights)
+    return dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, num_lights=lights))
+
+
+def main():
+    scene = cap_lights(
+        reorder_scene(load_scene("/root/reference/scenes/scene5.json")), NL)
+    print(f"scene5: {scene.static.n_triangles} tris, lights capped {NL}",
+          file=sys.stderr)
+
+    # ---- phase 1: path-traced forward, host-tiled --------------------
+    cfg = RenderConfig(gi_model="path", samples_per_pixel=SPP)
+    fwd = make_host_tiled_renderer(scene.static, cfg, RES, RES)
+    t0 = time.perf_counter()
+    img, z = fwd(scene.params, jax.random.PRNGKey(0))
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(img))
+    print(json.dumps({
+        "phase": "forward", "res": RES, "spp": SPP, "lights": NL,
+        "seconds": round(dt, 2), "total_radiance": float(np.sum(img)),
+        "mean_radiance": float(np.mean(img)),
+    }), flush=True)
+
+    # ---- phase 2: differentiable materials, host-tiled grads ---------
+    tcfg = RenderConfig(gi_model="path", samples_per_pixel=4,
+                        light_chunk=8)
+    tscene = cap_lights(scene, min(NL, 24))
+    key = jax.random.PRNGKey(1)
+
+    # target: the same scene with a different glass kt — recover it by
+    # descending on the materials (the "differentiable materials" claim)
+    kt0 = np.asarray(tscene.params.materials.kt)
+    kt_target = kt0.copy()
+    kt_target[1] = [0.6, 0.6, 0.9]          # glass material id 1 (scene5)
+    target_params = dataclasses.replace(
+        tscene.params, materials=dataclasses.replace(
+            tscene.params.materials, kt=jnp.asarray(kt_target)))
+    tfwd = make_host_tiled_renderer(tscene.static, tcfg, TRAIN_RES,
+                                    TRAIN_RES)
+    target = np.asarray(tfwd(target_params, key)[0]).reshape(-1, 3)
+
+    def pixel_loss(color, z, tgt):
+        return jnp.sum((color - tgt) ** 2, axis=-1)
+
+    vg = make_host_tiled_value_and_grad(tscene.static, tcfg, TRAIN_RES,
+                                        TRAIN_RES, pixel_loss)
+    params = tscene.params
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(6):
+        loss, g = vg(params, key, target=jnp.asarray(target))
+        losses.append(round(loss, 8))
+        kt_g = g.materials.kt
+        params = dataclasses.replace(
+            params, materials=dataclasses.replace(
+                params.materials,
+                kt=params.materials.kt - 200.0 * kt_g))
+    dt = time.perf_counter() - t0
+    kt_end = np.asarray(params.materials.kt)[1]
+    print(json.dumps({
+        "phase": "train", "res": TRAIN_RES, "spp": 4,
+        "steps": len(losses), "seconds": round(dt, 2),
+        "losses": losses,
+        "kt_start": [round(float(x), 3) for x in kt0[1]],
+        "kt_target": [round(float(x), 3) for x in kt_target[1]],
+        "kt_end": [round(float(x), 3) for x in kt_end],
+        "loss_reduced": bool(losses[-1] < losses[0]),
+    }), flush=True)
+    assert losses[-1] < losses[0], "training must reduce the loss"
+
+
+if __name__ == "__main__":
+    main()
