@@ -80,7 +80,8 @@ class Intersector:
             def sweep(args):
                 return traverse.closest_hit_clusters(
                     self.clusters, args[0], args[1], tuple(args[2]),
-                    visits=self._visits)
+                    visits=self._visits,
+                    pallas_visit=self._use_pallas_visit(self.clusters))
         out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
                             o2.shape[0])
         t, gid, n_aos = out
@@ -160,7 +161,8 @@ class Intersector:
                 return traverse.any_hit_tint_clusters(
                     self.clusters, args[0], args[1], args[2], args[3],
                     tuple(args[4]),
-                    visits=self._shadow_visits)
+                    visits=self._shadow_visits,
+                    pallas_visit=self._use_pallas_visit(self.clusters))
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(sweep, flat, flat[0].shape[0])
@@ -187,6 +189,22 @@ class Intersector:
         for k in range(blk_s.shape[0]):
             tint = tint * tint_s[k]
         return blocked, tint
+
+    def _use_pallas_visit(self, cs) -> bool:
+        """Whether _visit_order routes through the fused VMEM kernel
+        (config.pallas_visit; platform + VMEM eligibility)."""
+        mode = getattr(self.cfg, "pallas_visit", "off")
+        if mode == "off" or cs is None:
+            return False
+        from c_raytracer_tpu.accel import pallas_visit
+        from c_raytracer_tpu.core import rng
+        K = cs.lo.shape[-2] if cs.lo.ndim == 3 else cs.lo.shape[0]
+        if mode == "on":
+            return True
+        return pallas_visit.eligible(
+            0, -(-K // 128) * 128,
+            self.cfg.resolved_visits(any(self.static.is_transparent)),
+            rng._target_platform())
 
     @property
     def _visits(self) -> int:

@@ -227,13 +227,39 @@ def _k_smallest(key, V):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
-def _visit_order(cs: ClusterSet, o, d, visits: int):
+def _visit_order(cs: ClusterSet, o, d, visits: int,
+                 use_pallas: bool = False):
     """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V))
-    sorted by entry distance.  Selection only — gradients stopped."""
+    sorted by entry distance.  Selection only — gradients stopped.
+
+    ``use_pallas``: route through the fused VMEM kernel
+    (accel/pallas_visit.py) — identical outputs, keys never touch HBM;
+    callers gate on platform/eligibility via RenderConfig.pallas_visit."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     K = cs.lo.shape[0]
     V = max(1, min(visits, K))   # visits=0 would make the sweep a 0-scan
+    if use_pallas:
+        from c_raytracer_tpu.accel import pallas_visit
+        BR = 128
+        R = o.shape[0]
+        Rp = -(-R // BR) * BR
+        Kp = -(-K // 128) * 128
+        lo = jax.lax.stop_gradient(cs.lo)
+        hi = jax.lax.stop_gradient(cs.hi)
+        if Kp > K:   # pad rows lo = hi = +inf never overlap
+            inf = jnp.full((Kp - K, 3), jnp.inf, jnp.float32)
+            lo = jnp.concatenate([lo, inf])
+            hi = jnp.concatenate([hi, inf])
+        op, dp = o, d
+        if Rp > R:
+            op = jnp.concatenate([op, jnp.zeros((Rp - R, 3), o.dtype)])
+            dp = jnp.concatenate([dp, jnp.zeros((Rp - R, 3), d.dtype)])
+        cids, entry = pallas_visit.visit_order_fused(
+            op, dp, lo, hi, V=V, block_rays=BR)
+        cids = jnp.minimum(cids[:R], K - 1)  # pad-row ids only on dead lanes
+        entry = entry[:R]
+        return cids, entry < FLT_MAX, entry
     # robust slab test (Williams et al., accel.c:111-158): div-by-zero
     # yields ±inf which min/max handle; 0*inf NaN is avoided by nudging d
     dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
@@ -363,7 +389,8 @@ def _mt_block(blk, o, d):
     return t, hit
 
 
-def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
+def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
+                         pallas_visit: bool = False):
     """Fold the nearest-``visits`` clusters' triangles into ``best``.
 
     o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
@@ -379,7 +406,7 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
     result — the min over a batch equals the sequential strictly-smaller
     fold, with flattened argmin preserving first-visit-wins ties)."""
     C = cs.blk.shape[2]
-    cids, ok, entry = _visit_order(cs, o, d, visits)
+    cids, ok, entry = _visit_order(cs, o, d, visits, pallas_visit)
     V = cids.shape[1]
     bt0, bg0, bn0 = best
 
@@ -422,7 +449,8 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int):
 
 
 def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
-                          acc, *, visits: int):
+                          acc, *, visits: int,
+                          pallas_visit: bool = False):
     """Fold cluster triangles into the shadow accumulators (blocked, tint).
 
     o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
@@ -434,7 +462,7 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
     Visits are nearest-first so opaque blocking is found even when the
     overlap count exceeds V."""
     C = cs.blk.shape[2]
-    cids, ok, entry = _visit_order(cs, o, d, visits)
+    cids, ok, entry = _visit_order(cs, o, d, visits, pallas_visit)
     V = cids.shape[1]
     has_transp = cs.has_transp
 

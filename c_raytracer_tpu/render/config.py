@@ -124,6 +124,14 @@ class RenderConfig:
     # scenes and union for transparent ones.
     shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray" | "union"
 
+    # fused Pallas visit-order kernel (accel/pallas_visit.py): slab test
+    # + sorted top-V extraction with the (R, K) keys VMEM-resident,
+    # replacing the HBM-materialized keys + lax.top_k sort (155 ms/frame
+    # across the two visit-order phases on scene4 512², round-3 profile).
+    # "auto" enables it on TPU when shapes fit the VMEM budget; "off"
+    # keeps the XLA path (always used on CPU and for ineligible shapes).
+    pallas_visit: str = "auto"      # "auto" | "on" | "off"
+
     # cluster size for the SHADOW sweep's cluster set; None -> auto:
     # bvh_cluster for shared/per_ray, 128 for union mode — the union
     # sweep's Möller-Trumbore runs (P, lc, C) shapes whose minor axis is

@@ -530,3 +530,67 @@ class TestScene5FloatParity:
         denom = np.maximum(np.abs(np.asarray(img_b)), 1e-6)
         rel = float((ad / denom).max())
         assert rel < 1e-3, f"cluster-vs-brute rel radiance error {rel:.3e}"
+
+
+class TestPallasVisitOrder:
+    """Fused VMEM visit-order kernel (accel/pallas_visit.py) vs the XLA
+    _visit_order — exact equality of (cids, ok, entry) on live lanes.
+    Interpret mode on CPU; the real kernel compiles on TPU (pallas_visit
+    config "auto")."""
+
+    @pytest.mark.parametrize("V", [4, 16])
+    def test_matches_xla_visit_order(self, V):
+        from c_raytracer_tpu.accel import pallas_visit, traverse
+        scene = reorder_scene(_soup_scene(np.random.default_rng(0)))
+        ds = G.device_scene(scene.params, scene.static)
+        ix = make_intersector(ds, scene.static,
+                              RenderConfig(accel="cluster"))
+        cs = ix.clusters
+        K = cs.lo.shape[0]
+        o, d = _rays(np.random.default_rng(5), 256)
+        cids0, ok0, entry0 = jax.jit(
+            lambda: traverse._visit_order(cs, o, d, V))()
+        Kp = -(-K // 128) * 128
+        inf = jnp.full((Kp - K, 3), np.float32(np.inf))
+        lo = jnp.concatenate([cs.lo, inf])
+        hi = jnp.concatenate([cs.hi, inf])
+        cids1, entry1 = pallas_visit.visit_order_fused(
+            o, d, lo, hi, V=min(V, K), interpret=True)
+        ok1 = np.asarray(entry1) < pallas_visit.FLT_MAX
+        ok0 = np.asarray(ok0)
+        np.testing.assert_array_equal(ok0, ok1)
+        m = ok0
+        np.testing.assert_array_equal(np.asarray(cids0)[m],
+                                      np.asarray(cids1)[m])
+        np.testing.assert_array_equal(np.asarray(entry0)[m],
+                                      np.asarray(entry1)[m])
+
+    def test_traverse_route_matches(self):
+        """_visit_order(use_pallas=True) in interpret-capable shapes must
+        give identical closest hits (pad/clip plumbing covered)."""
+        from c_raytracer_tpu.accel import traverse
+        scene = reorder_scene(_soup_scene(np.random.default_rng(0)))
+        ds = G.device_scene(scene.params, scene.static)
+        ix = make_intersector(ds, scene.static,
+                              RenderConfig(accel="cluster"))
+        cs = ix.clusters
+        o, d = _rays(np.random.default_rng(6), 300)   # non-multiple of 128
+        import unittest.mock as mock
+        from c_raytracer_tpu.accel import pallas_visit as pv
+        real = pv.visit_order_fused
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return real(*a, **k)
+
+        R = o.shape[0]
+        best0 = (jnp.full((R,), traverse.FLT_MAX),
+                 jnp.full((R,), 2**31 - 1, jnp.int32),
+                 jnp.zeros((R, 3), jnp.float32))
+        t0, g0, n0 = jax.jit(lambda: traverse.closest_hit_clusters(
+            cs, o, d, best0, visits=16))()
+        with mock.patch.object(pv, "visit_order_fused", interp):
+            t1, g1, n1 = traverse.closest_hit_clusters(
+                cs, o, d, best0, visits=16, pallas_visit=True)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
