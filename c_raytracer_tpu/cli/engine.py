@@ -49,6 +49,7 @@ OPTIONAL PARAMETERS:
 [--stats]                        : DEFAULT = OFF     : print traced-ray counts and rays/second.
 [--accel-report]                 : DEFAULT = OFF     : print the acceleration spill report (accel/validate.py).
 [--accel-tune]                   : DEFAULT = OFF     : auto-raise visit budgets until the measured spill is zero.
+[--shadow-mode] (string)         : DEFAULT = auto    : soft-shadow sweep (auto | shared | per_ray | union).
 """
 
 
@@ -106,6 +107,9 @@ def main(argv=None) -> int:
     v = _flag(argv, "-o")
     if v:
         kw["attenuation_offset"] = float(v[0])
+    v = _flag(argv, "--shadow-mode")
+    if v and v[0] in ("auto", "shared", "per_ray", "union"):
+        kw["shadow_mode"] = v[0]
     cfg = RenderConfig(**kw)
 
     scale = None
