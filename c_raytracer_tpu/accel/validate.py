@@ -87,8 +87,19 @@ def spill_report(scene, cfg, resx: int, resy: int) -> dict:
 
     n_ov, spill, hit, hp_a = probe()
     hitm = np.asarray(hit)
-    sv = cfg.resolved_shadow_visits(any_transp)
-    k_short = cfg.resolved_shadow_shortlist(any_transp)
+    mode = cfg.resolved_shadow_mode(any_transp)
+    if mode == "union":
+        # union mode sweeps its own cluster set with the union budget;
+        # the capsule count on THAT set is a conservative upper bound on
+        # any per-pixel sample union (every sample segment lies inside
+        # the capsule), so capsule spill == 0 proves the budget covers
+        sv = cfg.resolved_union_visits(any_transp)
+        k_short = 0
+        cs_sh = ix._shadow_cs
+    else:
+        sv = cfg.resolved_shadow_visits(any_transp)
+        k_short = cfg.resolved_shadow_shortlist(any_transp)
+        cs_sh = cs
 
     shadow = []
     for egid in static.emitter_prims:
@@ -97,7 +108,7 @@ def spill_report(scene, cfg, resx: int, resy: int) -> dict:
         elo, ehi = ix.emitter_bounds(int(egid))
         cl_sp, tri_sp = jax.jit(
             lambda elo=elo, ehi=ehi: traverse.shadow_spill_counts(
-                cs, jnp.asarray(hp_a), elo, ehi, sv, k_short))()
+                cs_sh, jnp.asarray(hp_a), elo, ehi, sv, k_short))()
         cl_sp = np.asarray(cl_sp)[hitm]
         tri_sp = np.asarray(tri_sp)[hitm]
         shadow.append(dict(
@@ -113,6 +124,7 @@ def spill_report(scene, cfg, resx: int, resy: int) -> dict:
     spill = np.asarray(spill)
     return {
         "accel": "cluster",
+        "shadow_mode": mode,
         "n_clusters": int(K),
         "closest": dict(
             visits=cfg.resolved_visits(any_transp),

@@ -594,3 +594,37 @@ class TestPallasVisitOrder:
                 cs, o, d, best0, visits=16, pallas_visit=True)
         np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
         np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+class TestValidatePolicy:
+    """spill_report / tuned_config (accel/validate.py): the measure-and
+    -prove policy behind --accel-report/--accel-tune, including the
+    union-mode branch (probes the SHADOW cluster set with the union
+    budget)."""
+
+    def test_spill_report_union_mode(self):
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.accel.validate import spill_report
+        scene = reorder_scene(_lit_soup())
+        cfg = RenderConfig(accel="cluster")   # transparent -> union auto
+        rep = spill_report(scene, cfg, 16, 16)
+        assert rep["shadow_mode"] == "union"
+        assert rep["closest"]["visits"] == 64
+        for s in rep["shadow"]:
+            assert s["visits"] == cfg.resolved_union_visits(True)
+            assert s["shortlist"] == 0
+            assert s["tri_spill_max"] == 0
+
+    def test_tuned_config_covers_measured_overlap(self):
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.accel.validate import spill_report, tuned_config
+        scene = reorder_scene(_lit_soup())
+        # starved starting budgets: tuning must raise them to cover
+        cfg = RenderConfig(accel="cluster", bvh_visits=1,
+                           bvh_shadow_visits=1)
+        tuned, rep = tuned_config(scene, cfg, 16, 16)
+        assert tuned.bvh_visits >= rep["closest"]["overlap_max"]
+        rep2 = spill_report(scene, tuned, 16, 16)
+        assert rep2["closest"]["spill_max"] == 0
+        for s in rep2["shadow"]:
+            assert s["cluster_spill_max"] == 0
