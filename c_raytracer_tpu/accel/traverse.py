@@ -565,31 +565,46 @@ def shadow_union_visit_order(cs: ClusterSet, origin, dirs_fn, nchunks,
     lox, loy, loz = cs.lo[:, 0][None], cs.lo[:, 1][None], cs.lo[:, 2][None]
     hix, hiy, hiz = cs.hi[:, 0][None], cs.hi[:, 1][None], cs.hi[:, 2][None]
 
-    def seg_overlap(d, md):
-        """(P, K) slab overlap of one sample's segment per pixel.
-        d: (P, 3), md: (P,).  Componentwise — no (P, K, 3) tensors."""
-        tmin = jnp.full((P, K), -FLT_MAX)
-        tmax = jnp.full((P, K), FLT_MAX)
-        for dc, lo_c, hi_c, oc in ((d[:, 0:1], lox, hix, ox),
-                                   (d[:, 1:2], loy, hiy, oy),
-                                   (d[:, 2:3], loz, hiz, oz)):
+    def seg_overlap_group(d, md):
+        """(P, K) union of a GROUP of samples' segment-slab overlaps.
+        d: (P, su, 3), md: (P, su).  Componentwise (no trailing-3 axis);
+        grouping su samples per step keeps the (P·su, K) fusion large
+        enough to hide VPU op overheads (per-sample steps are tiny)."""
+        su = md.shape[1]
+        tmin = jnp.full((P, su, K), -FLT_MAX)
+        tmax = jnp.full((P, su, K), FLT_MAX)
+        for c, (lo_c, hi_c, oc) in enumerate(
+                ((lox, hix, ox), (loy, hiy, oy), (loz, hiz, oz))):
+            dc = d[:, :, c][:, :, None]                # (P, su, 1)
             dd = jnp.where(jnp.abs(dc) < 1e-30, 1e-30, dc)
             inv = 1.0 / dd
-            t1 = (lo_c - oc) * inv
-            t2 = (hi_c - oc) * inv
+            t1 = (lo_c[:, None, :] - oc[:, :, None]) * inv
+            t2 = (hi_c[:, None, :] - oc[:, :, None]) * inv
             tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         entry = jnp.maximum(tmin, 0.0)
-        return (tmax >= entry) & (entry < md[:, None])
+        ov = (tmax >= entry) & (entry < md[:, :, None])
+        return jnp.any(ov, axis=1)                     # (P, K)
 
     def chunk_body(union, chunk_i):
         d, md, _ = dirs_fn(chunk_i)                    # (P, lc, 3), (P, lc)
         lc = md.shape[1]
+        su = min(8, lc)
+        ngroups = -(-lc // su)
+        pad = ngroups * su - lc
+        if pad:
+            # duplicate the last sample into the pad lanes: unioning a
+            # repeated segment is a no-op
+            d = jnp.concatenate([d, jnp.repeat(d[:, -1:], pad, 1)], axis=1)
+            md = jnp.concatenate(
+                [md, jnp.repeat(md[:, -1:], pad, 1)], axis=1)
+        d = d.reshape(P, ngroups, su, 3)
+        md = md.reshape(P, ngroups, su)
 
-        def sample_body(union, s):
-            return union | seg_overlap(d[:, s, :], md[:, s]), None
+        def group_body(union, g):
+            return union | seg_overlap_group(d[:, g], md[:, g]), None
 
-        union, _ = jax.lax.scan(sample_body, union, jnp.arange(lc))
+        union, _ = jax.lax.scan(group_body, union, jnp.arange(ngroups))
         return union, None
 
     union0 = jnp.zeros((P, K), bool)
