@@ -138,12 +138,12 @@ def measure_scene4():
 
 def measure_scene5():
     """Transparent-mesh workload (glass dragon substitute, ~100k tris,
-    stack integrator + per-ray EXACT kt shadow folds — the round-3
-    truncation fix) at 16² with 40-sample lights.  The exact transparent
-    path is the framework's most expensive configuration (every kt blocker
-    along every shadow segment must be folded); full-size frames run
-    minutes and are rendered host-tiled (make_host_tiled_renderer), so the
-    bench samples a small config whose per-call time fits the tunnel."""
+    stack integrator + EXACT kt shadow folds) at 64² with 100-sample
+    lights — the exact config the reference C binary renders in 2.3 s on
+    2 CPU cores.  Round 4's union shadow mode (exact per-pixel
+    sample-union visit lists, C=64 shadow clusters, dead-step conds) made
+    this frame a sub-second single device program; round 3's per-ray
+    sweep needed 13.8 s for a 16² frame."""
     import dataclasses
 
     import jax
@@ -155,10 +155,10 @@ def measure_scene5():
     scene = reorder_scene(
         load_scene("/root/reference/scenes/scene5.json",
                    mesh_root="/root/reference"))
-    nl = tuple(min(n, 40) for n in scene.static.num_lights)
+    nl = tuple(min(n, 100) for n in scene.static.num_lights)
     scene = dataclasses.replace(
         scene, static=dataclasses.replace(scene.static, num_lights=nl))
-    fn = make_renderer(scene.static, RenderConfig(), 16, 16,
+    fn = make_renderer(scene.static, RenderConfig(), 64, 64,
                        with_stats=True)
     img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
     img.block_until_ready()
@@ -243,8 +243,8 @@ def main():
             "path_gi_n4_seconds_1024": round(path_dt, 4),
             "scene4_512_rays_per_s": round(s4_rays_per_s),
             "scene4_512_seconds": round(s4_dt, 4),
-            "scene5_16_l40_rays_per_s": round(s5_rays_per_s),
-            "scene5_16_l40_seconds": round(s5_dt, 4),
+            "scene5_64_l100_rays_per_s": round(s5_rays_per_s),
+            "scene5_64_l100_seconds": round(s5_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))

@@ -81,7 +81,8 @@ class Intersector:
                 return traverse.closest_hit_clusters(
                     self.clusters, args[0], args[1], tuple(args[2]),
                     visits=self._visits,
-                    pallas_visit=self._use_pallas_visit(self.clusters))
+                    pallas_visit=self._use_pallas_visit(self.clusters),
+                    dead_skip=self._dead_skip)
         out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
                             o2.shape[0])
         t, gid, n_aos = out
@@ -162,7 +163,8 @@ class Intersector:
                     self.clusters, args[0], args[1], args[2], args[3],
                     tuple(args[4]),
                     visits=self._shadow_visits,
-                    pallas_visit=self._use_pallas_visit(self.clusters))
+                    pallas_visit=self._use_pallas_visit(self.clusters),
+                    dead_skip=self._dead_skip)
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(sweep, flat, flat[0].shape[0])
@@ -189,6 +191,17 @@ class Intersector:
         for k in range(blk_s.shape[0]):
             tint = tint * tint_s[k]
         return blocked, tint
+
+    @property
+    def _dead_skip(self) -> bool:
+        """Per-visit cond skip: pays off when budgets are generous
+        relative to live work (transparent scenes: visits 64+ vs ~3 mean
+        overlap); a tight always-live opaque budget (scene4 visits=16)
+        only pays the per-step scalar cond."""
+        mode = getattr(self.cfg, "sweep_dead_skip", "auto")
+        if mode != "auto":
+            return mode == "on"
+        return any(self.static.is_transparent)
 
     def _use_pallas_visit(self, cs) -> bool:
         """Whether _visit_order routes through the fused VMEM kernel
@@ -312,7 +325,7 @@ class Intersector:
                     self.cfg.resolved_union_visits(has_transp))
                 acc = traverse.any_hit_tint_shared(
                     cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
-                    remat=remat)
+                    remat=remat, dead_skip=self._dead_skip)
                 return acc, jnp.max(spill)
             cids, ok = traverse.shadow_visit_order(
                 cs, origin_aos, emitter_lo, emitter_hi,
@@ -328,7 +341,7 @@ class Intersector:
                 return acc, jnp.int32(0)
             acc = traverse.any_hit_tint_shared(
                 cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
-                remat=remat)
+                remat=remat, dead_skip=self._dead_skip)
             return acc, jnp.int32(0)
 
         if self.shards is not None:

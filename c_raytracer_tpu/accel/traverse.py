@@ -227,6 +227,25 @@ def _k_smallest(key, V):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
+def _k_smallest_payload(key, payload, V):
+    """V smallest per row of ``key`` (R, K) with an int32 ``payload`` row
+    carried through the extraction (picked-masked sums — no row gather).
+    Same order/tie-break as _k_smallest."""
+    R, K = key.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    cur = key
+    vals, pays = [], []
+    for _ in range(V):
+        m = cur.min(axis=1)                                 # (R,)
+        first = jnp.min(jnp.where(cur == m[:, None], iota, K), axis=1)
+        first = jnp.minimum(first, K - 1)
+        picked = iota == first[:, None]
+        vals.append(m)
+        pays.append(jnp.sum(jnp.where(picked, payload, 0), axis=1))
+        cur = jnp.where(picked, FLT_MAX, cur)
+    return jnp.stack(vals, axis=1), jnp.stack(pays, axis=1)
+
+
 def _visit_order(cs: ClusterSet, o, d, visits: int,
                  use_pallas: bool = False):
     """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V))
@@ -390,7 +409,8 @@ def _mt_block(blk, o, d):
 
 
 def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
-                         pallas_visit: bool = False):
+                         pallas_visit: bool = False,
+                         dead_skip: bool = True):
     """Fold the nearest-``visits`` clusters' triangles into ``best``.
 
     o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
@@ -432,7 +452,11 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
         # dead-step skip: visit lists are front-packed (sorted by entry)
         # and pruned by best-so-far, so once no ray is live the remaining
         # scheduled visits do no work — a real scalar branch lets XLA skip
-        # the gather+MT body (the budget can be generous at no cost)
+        # the gather+MT body (the budget can be generous at no cost).
+        # ``dead_skip=False`` for tight always-live budgets: the per-step
+        # scalar cond costs more than it saves there (intersect.py auto)
+        if not dead_skip:
+            return live_step((bt, bg)), None
         return jax.lax.cond(jnp.any(live), live_step,
                             lambda args: args, (bt, bg)), None
 
@@ -450,7 +474,8 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
 
 def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
                           acc, *, visits: int,
-                          pallas_visit: bool = False):
+                          pallas_visit: bool = False,
+                          dead_skip: bool = True):
     """Fold cluster triangles into the shadow accumulators (blocked, tint).
 
     o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
@@ -490,6 +515,8 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
 
         # dead-step skip (see closest_hit_clusters): front-packed sorted
         # visit lists make trailing slots all-dead
+        if not dead_skip:
+            return live_step(acc), None
         return jax.lax.cond(jnp.any(live), live_step,
                             lambda acc: acc, acc), None
 
@@ -715,19 +742,31 @@ def shadow_shortlist(cs: ClusterSet, origin, cids, ok, ecenter, erad,
         return jnp.where(overlap, dist2, FLT_MAX)
 
     scores = jax.vmap(score_visit, out_axes=1)(jnp.arange(V))
+    # flat-triangle index per score lane, arithmetically from (visit, lane)
+    flat_ti = (cids[:, :, None] * C
+               + jnp.arange(C, dtype=jnp.int32)[None, None, :])  # (P, V, C)
     scores = scores.reshape(P, V * C)
-    # K-smallest selection over the small (P, V·C) score block via
-    # _k_smallest: K passes of min-reduce + first-index + mask — pure VPU
-    # sweeps.  top_k here lowered to a variadic (P, V·C) sort (measured
-    # 150-250 ms/frame on scene4 512² depending on how its index operand
-    # fused); K·(V·C) compare/selects are an order of magnitude cheaper,
-    # and the ascending-score-first-index order is identical.  (_k_smallest
-    # itself falls back to top_k for K > 32, guarding raised configs.)
-    vals, pos = _k_smallest(scores, K)                     # (P, K)
-    lane_ok = vals < FLT_MAX
-    # flat-triangle index recovered arithmetically from (visit, lane)
-    ti = (jnp.take_along_axis(cids, pos // C, axis=1) * C + pos % C)
-    ti = jnp.where(lane_ok, ti, 0)
+    flat_ti = flat_ti.reshape(P, V * C)
+    # K-smallest selection over the small (P, V·C) score block by K passes
+    # of min-reduce + first-index + mask — pure VPU sweeps.  top_k here
+    # lowered to a variadic (P, V·C) sort (measured 150-250 ms/frame on
+    # scene4 512² depending on how its index operand fused); K·(V·C)
+    # compare/selects are an order of magnitude cheaper, and the
+    # ascending-score-first-index order is identical.  The triangle id is
+    # carried as a PAYLOAD through the extraction (picked-masked sum) —
+    # recovering it afterwards via take_along_axis re-lowers to the very
+    # row gather this extraction exists to avoid.  Configs that raise K
+    # past 32 take the top_k sort instead (V-independent cost).
+    if K > 32:
+        neg_top, pos = jax.lax.top_k(-scores, K)
+        vals = -neg_top
+        lane_ok = vals < FLT_MAX
+        ti = jnp.take_along_axis(flat_ti, pos, axis=1)
+        ti = jnp.where(lane_ok, ti, 0)
+    else:
+        vals, ti = _k_smallest_payload(scores, flat_ti, K)
+        lane_ok = vals < FLT_MAX
+        ti = jnp.where(lane_ok, ti, 0)
     blk = cs.flat[ti]                                      # (P, K, F)
     blk = jnp.swapaxes(blk, 1, 2)                          # (P, F, K)
     gid = cs.gid0 + ti
@@ -768,7 +807,8 @@ def any_hit_tint_shortlist(cs: ClusterSet, origin, blk, gid, lane_ok,
 
 
 def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,
-                        nchunks, acc, *, remat: bool = True):
+                        nchunks, acc, *, remat: bool = True,
+                        dead_skip: bool = True):
     """Shared-origin soft-shadow sweep, visits-outer / sample-chunks-inner.
 
     The naive order (per light-sample chunk, per visit: gather + test)
@@ -827,6 +867,8 @@ def any_hit_tint_shared(cs: ClusterSet, origin, cids, ok, dirs_fn,
         # dead-step skip: visit lists are front-packed (sorted, masked
         # tail), so the scan exits real work after the batch's true max
         # list length — union mode's generous static budget relies on it
+        if not dead_skip:
+            return live_visit(acc), None
         return jax.lax.cond(jnp.any(live), live_visit,
                             lambda acc: acc, acc), None
 

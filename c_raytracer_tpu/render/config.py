@@ -124,20 +124,31 @@ class RenderConfig:
     # scenes and union for transparent ones.
     shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray" | "union"
 
+    # per-visit dead-step cond in the cluster sweeps: "auto" enables it
+    # for transparent scenes (generous budgets, mostly-dead tails) and
+    # disables it for opaque tight budgets where every step is live and
+    # the scalar cond is pure overhead (measured on scene4 512²)
+    sweep_dead_skip: str = "auto"   # "auto" | "on" | "off"
+
     # fused Pallas visit-order kernel (accel/pallas_visit.py): slab test
     # + sorted top-V extraction with the (R, K) keys VMEM-resident,
     # replacing the HBM-materialized keys + lax.top_k sort (155 ms/frame
     # across the two visit-order phases on scene4 512², round-3 profile).
     # "auto" enables it on TPU when shapes fit the VMEM budget; "off"
     # keeps the XLA path (always used on CPU and for ineligible shapes).
-    pallas_visit: str = "auto"      # "auto" | "on" | "off"
+    # DEFAULT OFF: the round-4 hardware session could not validate the
+    # kernel (the remote Mosaic compile hung through the axon tunnel;
+    # interpret-mode parity is pinned in tests) — flip to "auto" once a
+    # compile on the target toolchain is demonstrated.
+    pallas_visit: str = "off"       # "auto" | "on" | "off"
 
     # cluster size for the SHADOW sweep's cluster set; None -> auto:
-    # bvh_cluster for shared/per_ray, 128 for union mode — the union
+    # bvh_cluster for shared/per_ray, 64 for union mode — the union
     # sweep's Möller-Trumbore runs (P, lc, C) shapes whose minor axis is
-    # the cluster lane, so C=128 fills the VPU lanes (C=16 measured 12.5%
-    # lane utilization, PERFORMANCE.md round 3) and fewer/fatter clusters
-    # cut both the prefilter (K 8× smaller) and the gather row count.
+    # the cluster lane (C=16 measured 12.5% lane utilization, round 3);
+    # fatter clusters also shrink the prefilter and gather row count.
+    # Swept on scene5 64²/100: C=64 0.92 s/frame vs C=128 1.81 s (fatter
+    # clusters pull in too many irrelevant triangles per visit).
     bvh_shadow_cluster: int | None = None
 
     def resolved_shadow_mode(self, any_transparent: bool) -> str:
@@ -149,7 +160,7 @@ class RenderConfig:
         if self.bvh_shadow_cluster is not None:
             return self.bvh_shadow_cluster
         if self.resolved_shadow_mode(any_transparent) == "union":
-            return 128
+            return 64
         return self.bvh_cluster
 
     def resolved_union_visits(self, any_transparent: bool) -> int:
