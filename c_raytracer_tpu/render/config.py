@@ -166,12 +166,15 @@ class RenderConfig:
     def resolved_union_visits(self, any_transparent: bool) -> int:
         """Visit budget for union mode.  Generous by design: the sweep's
         per-step dead cond makes unused slots cost one scalar predicate,
-        so the budget only bounds worst-case compile shape; 64 covers the
-        measured scene5 per-pixel unions at C=128 with wide margin (spill
-        is counted and warned on, accel/validate.py policy)."""
+        so the budget mostly bounds the compile shape.  192 measured
+        spill-free on scene5 at C=64 (hit points INSIDE the glass mesh
+        see ~110+ overlapped clusters; 64 spilled by 45 and leaked 6.6×
+        radiance on single pixels — caught by the runtime spill guard,
+        which stays on: raise bvh_shadow_visits or --accel-tune if a
+        scene still warns)."""
         if self.bvh_shadow_visits is not None:
             return self.bvh_shadow_visits
-        return 64
+        return 192
 
     def resolved_visits(self, any_transparent: bool) -> int:
         if self.bvh_visits is not None:

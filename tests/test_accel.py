@@ -532,11 +532,15 @@ class TestScene5FloatParity:
         assert rel < 1e-3, f"cluster-vs-brute rel radiance error {rel:.3e}"
 
 
+@pytest.mark.skipif(jax.default_backend() != "cpu",
+                    reason="interpret-mode parity is a CPU check (Pallas "
+                           "interpret semantics differ on device backends; "
+                           "the compiled kernel is opt-in via pallas_visit)")
 class TestPallasVisitOrder:
     """Fused VMEM visit-order kernel (accel/pallas_visit.py) vs the XLA
     _visit_order — exact equality of (cids, ok, entry) on live lanes.
-    Interpret mode on CPU; the real kernel compiles on TPU (pallas_visit
-    config "auto")."""
+    Interpret mode on CPU; the compiled kernel is gated off by default
+    (config.pallas_visit) until a target-toolchain compile is shown."""
 
     @pytest.mark.parametrize("V", [4, 16])
     def test_matches_xla_visit_order(self, V):
