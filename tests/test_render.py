@@ -270,3 +270,49 @@ class TestHostTiledGrads:
             params = dataclasses.replace(
                 params, ambient=params.ambient - 1.5 * g.ambient)
         assert losses[-1] < losses[0] * 0.7, losses
+
+
+@pytest.mark.skipif(not os.environ.get("CRT_SLOW"),
+                    reason="slow flagship config; set CRT_SLOW=1")
+class TestFlagshipScene5:
+    """BASELINE configs[4] at a CI-sized config: scene5 path-traced GI
+    with differentiable materials through the host-tiled grad path —
+    reproduces tools/flagship_s5.py's contract (hardware numbers in
+    PERFORMANCE.md round 4)."""
+
+    def test_path_gi_train_reduces_loss(self, reference_root):
+        import dataclasses as dc
+        from c_raytracer_tpu.accel.build import reorder_scene
+        from c_raytracer_tpu.render import (
+            make_host_tiled_renderer, make_host_tiled_value_and_grad)
+        from c_raytracer_tpu.scene import load_scene
+
+        sc = reorder_scene(load_scene(
+            os.path.join(reference_root, "scenes/scene5.json")))
+        nl = tuple(min(n, 8) for n in sc.static.num_lights)
+        sc = dc.replace(sc, static=dc.replace(sc.static, num_lights=nl))
+        cfg = RenderConfig(gi_model="path", samples_per_pixel=2,
+                           light_chunk=8, max_bounces=3, rounds=5)
+        key = jax.random.PRNGKey(1)
+
+        kt_target = np.asarray(sc.params.materials.kt).copy()
+        kt_target[1] = [0.6, 0.6, 0.9]
+        tp = dc.replace(sc.params, materials=dc.replace(
+            sc.params.materials, kt=jnp.asarray(kt_target)))
+        fwd = make_host_tiled_renderer(sc.static, cfg, 12, 12)
+        target = np.asarray(fwd(tp, key)[0]).reshape(-1, 3)
+
+        def pixel_loss(color, z, tgt):
+            return jnp.sum((color - tgt) ** 2, axis=-1)
+
+        vg = make_host_tiled_value_and_grad(sc.static, cfg, 12, 12,
+                                            pixel_loss)
+        params = sc.params
+        losses = []
+        for i in range(3):
+            loss, g = vg(params, key, target=jnp.asarray(target))
+            losses.append(loss)
+            params = dc.replace(params, materials=dc.replace(
+                params.materials,
+                kt=params.materials.kt - 200.0 * g.materials.kt))
+        assert losses[-1] < losses[0], losses

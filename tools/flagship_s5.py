@@ -52,7 +52,11 @@ def main():
           file=sys.stderr)
 
     # ---- phase 1: path-traced forward, host-tiled --------------------
-    cfg = RenderConfig(gi_model="path", samples_per_pixel=SPP)
+    # small tiles: spp hemisphere samples each shade full direct lighting
+    # (render.c:272-277), so a 2048-px tile call would exceed the axon
+    # tunnel's device-call budget at spp 64
+    cfg = RenderConfig(gi_model="path", samples_per_pixel=SPP,
+                       tile_size=512)
     fwd = make_host_tiled_renderer(scene.static, cfg, RES, RES)
     t0 = time.perf_counter()
     img, z = fwd(scene.params, jax.random.PRNGKey(0))
