@@ -33,12 +33,19 @@ import numpy as np
 FLT_MAX = float(np.finfo(np.float32).max)
 
 
-def _kernel(o_ref, d_ref, lo_ref, hi_ref, cids_ref, entry_ref, *, V, K):
-    import jax.experimental.pallas as pl  # noqa: F401
+def _kernel(o_ref, d_ref, lo_ref, hi_ref, cids_ref, entry_ref,
+            tmin_ref, tmax_ref, *, V, K):
+    """Outputs are TRANSPOSED (V, BR): the extraction loop stores row v
+    with a dynamic sublane index (dynamic LANE stores are not a thing);
+    the wrapper transposes back.  The slab accumulators and the key block
+    live in dedicated VMEM scratch — the fully-unrolled first version
+    allocated a stack slot per intermediate of every extraction pass and
+    blew Mosaic's scoped-VMEM limit at any useful block size."""
+    import jax.experimental.pallas as pl
 
     BR = o_ref.shape[0]
-    tmin = jnp.full((BR, K), -FLT_MAX, jnp.float32)
-    tmax = jnp.full((BR, K), FLT_MAX, jnp.float32)
+    tmin_ref[:] = jnp.full((BR, K), -FLT_MAX, jnp.float32)
+    tmax_ref[:] = jnp.full((BR, K), FLT_MAX, jnp.float32)
     for c in range(3):
         dc = d_ref[:, c][:, None]                       # (BR, 1)
         dd = jnp.where(jnp.abs(dc) < 1e-30, 1e-30, dc)
@@ -48,21 +55,26 @@ def _kernel(o_ref, d_ref, lo_ref, hi_ref, cids_ref, entry_ref, *, V, K):
         hi_c = hi_ref[:, c][None, :]
         t1 = (lo_c - oc) * inv
         t2 = (hi_c - oc) * inv
-        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-    entry = jnp.maximum(tmin, 0.0)
-    key = jnp.where(tmax >= entry, entry, FLT_MAX)      # (BR, K)
+        tmin_ref[:] = jnp.maximum(tmin_ref[:], jnp.minimum(t1, t2))
+        tmax_ref[:] = jnp.minimum(tmax_ref[:], jnp.maximum(t1, t2))
+    entry = jnp.maximum(tmin_ref[:], 0.0)
+    # tmin_ref becomes the working key block for the extraction
+    tmin_ref[:] = jnp.where(tmax_ref[:] >= entry, entry, FLT_MAX)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (BR, K), 1)
-    cur = key
-    for v in range(V):
+
+    def extract(v, _):
+        cur = tmin_ref[:]
         m = jnp.min(cur, axis=1)                        # (BR,)
         ism = cur == m[:, None]
         first = jnp.min(jnp.where(ism, iota, K), axis=1)
         first = jnp.minimum(first, K - 1)
-        cids_ref[:, v] = first
-        entry_ref[:, v] = m
-        cur = jnp.where(iota == first[:, None], FLT_MAX, cur)
+        cids_ref[pl.ds(v, 1), :] = first[None, :]
+        entry_ref[pl.ds(v, 1), :] = m[None, :]
+        tmin_ref[:] = jnp.where(iota == first[:, None], FLT_MAX, cur)
+        return 0
+
+    jax.lax.fori_loop(0, V, extract, 0)
 
 
 @functools.partial(jax.jit,
@@ -81,9 +93,12 @@ def visit_order_fused(o, d, lo, hi, *, V, block_rays=128, interpret=False):
     assert R % block_rays == 0, (R, block_rays)
     grid = (R // block_rays,)
     kernel = functools.partial(_kernel, V=V, K=K)
-    return pl.pallas_call(
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+    cids_t, entry_t = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((block_rays, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -93,27 +108,33 @@ def visit_order_fused(o, d, lo, hi, *, V, block_rays=128, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),      # hi, full
         ],
         out_specs=(
-            pl.BlockSpec((block_rays, V), lambda i: (i, 0),
+            # transposed (V, BR) blocks: the extraction stores row v with
+            # a dynamic sublane index (dynamic lane stores don't exist)
+            pl.BlockSpec((V, block_rays), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rays, V), lambda i: (i, 0),
+            pl.BlockSpec((V, block_rays), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R, V), jnp.int32),
-            jax.ShapeDtypeStruct((R, V), jnp.float32),
+            jax.ShapeDtypeStruct((V, R), jnp.int32),
+            jax.ShapeDtypeStruct((V, R), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_rays, K), jnp.float32),   # tmin / key block
+            pltpu.VMEM((block_rays, K), jnp.float32),   # tmax
+        ],
         interpret=interpret,
     )(o, d, lo, hi)
+    return cids_t.T, entry_t.T
 
 
 def eligible(R: int, K: int, V: int, platform: str,
              block_rays: int = 128) -> bool:
-    """VMEM budget: the (BR, K) key block (plus the working copy) must
-    fit comfortably; K and V small enough that the unrolled extraction
-    doesn't bloat the kernel."""
+    """VMEM budget: two (BR, K) scratch blocks plus a handful of loop
+    temporaries must fit the scoped limit."""
     if platform != "tpu":
         return False
     if V > 64:
         return False
     key_bytes = block_rays * K * 4
-    return key_bytes * 3 <= 6 * 2 ** 20
+    return key_bytes * 6 <= 64 * 2 ** 20
