@@ -320,9 +320,58 @@ class Intersector:
             runtime truncation guard (spill == 0 proves the kt product
             swept every blocker; accel/validate.py policy)."""
             if union_mode:
+                uv = self.cfg.resolved_union_visits(has_transp)
+                scope = getattr(self.cfg, "union_scope", "auto")
+                if scope == "auto":
+                    scope = "frame"   # chunk scope measured slower
+                    #                   (config.py union_scope note)
+                if scope == "chunk" and nchunks > 1:
+                    # per-CHUNK lists: each lc-sample chunk sweeps only
+                    # its own segment union — several times smaller than
+                    # the frame union for inside-the-mesh pixels (the
+                    # sweep body is 56% of a scene5 frame and scales
+                    # with list length × chunks; extraction repeats per
+                    # chunk instead)
+                    def chunk_sweep(carry, ci):
+                        acc, spill_acc = carry
+
+                        def one_dirs(_j, _ci=ci):
+                            return cached_dirs(_ci)
+
+                        cids, ok, spill = \
+                            traverse.shadow_union_visit_order(
+                                cs, origin_aos, one_dirs, 1, uv)
+                        if not has_transp:
+                            sub = jax.lax.dynamic_slice_in_dim(
+                                acc, ci, 1, 1)           # (P, 1, lc)
+                            sub = traverse.any_hit_tint_shared(
+                                cs, origin_aos, cids, ok, one_dirs, 1,
+                                sub, remat=remat,
+                                dead_skip=self._dead_skip)
+                            acc = jax.lax.dynamic_update_slice_in_dim(
+                                acc, sub, ci, 1)
+                        else:
+                            b, t = acc
+                            sb = jax.lax.dynamic_slice_in_dim(b, ci, 1, 1)
+                            st = jax.lax.dynamic_slice_in_dim(t, ci, 1, 1)
+                            sb, st = traverse.any_hit_tint_shared(
+                                cs, origin_aos, cids, ok, one_dirs, 1,
+                                (sb, st), remat=remat,
+                                dead_skip=self._dead_skip)
+                            acc = (
+                                jax.lax.dynamic_update_slice_in_dim(
+                                    b, sb, ci, 1),
+                                jax.lax.dynamic_update_slice_in_dim(
+                                    t, st, ci, 1))
+                        return (acc, jnp.maximum(spill_acc,
+                                                 jnp.max(spill))), None
+
+                    (acc, spill_max), _ = jax.lax.scan(
+                        chunk_sweep, (acc, jnp.int32(0)),
+                        jnp.arange(nchunks))
+                    return acc, spill_max
                 cids, ok, spill = traverse.shadow_union_visit_order(
-                    cs, origin_aos, cached_dirs, nchunks,
-                    self.cfg.resolved_union_visits(has_transp))
+                    cs, origin_aos, cached_dirs, nchunks, uv)
                 acc = traverse.any_hit_tint_shared(
                     cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
                     remat=remat, dead_skip=self._dead_skip)

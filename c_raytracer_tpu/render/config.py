@@ -124,6 +124,16 @@ class RenderConfig:
     # scenes and union for transparent ones.
     shadow_mode: str = "auto"       # "auto" | "shared" | "per_ray" | "union"
 
+    # union-mode list scope: per-FRAME lists (one union over all S
+    # samples, every chunk streams through it) or per-CHUNK lists (each
+    # chunk sweeps only its own union).  Measured on scene5 64²: chunk
+    # scope LOSES (1.71 s vs 1.20 s at 100 lights, 3.84 vs 2.31 at 300)
+    # — a 40-sample chunk's segments already saturate the pixel's
+    # geometric union, so per-chunk lists shrink little while the
+    # extraction repeats nchunks×.  "auto" = frame; "chunk" kept as a
+    # tested opt-in for low-lc configs.
+    union_scope: str = "auto"       # "auto" | "frame" | "chunk"
+
     # per-visit dead-step cond in the cluster sweeps: "auto" enables it
     # for transparent scenes (generous budgets, mostly-dead tails) and
     # disables it for opaque tight budgets where every step is live and

@@ -632,3 +632,40 @@ class TestValidatePolicy:
         assert rep2["closest"]["spill_max"] == 0
         for s in rep2["shadow"]:
             assert s["cluster_spill_max"] == 0
+
+
+class TestUnionChunkScope:
+    """Per-chunk union lists (union_scope="chunk", the auto default) must
+    match the per-frame lists and brute force exactly on a MULTI-chunk
+    emitter — each chunk sweeps only its own segment union."""
+
+    def test_chunk_scope_matches_frame_and_brute(self):
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.render import make_renderer
+        import dataclasses as dc
+        soup = reorder_scene(_lit_soup())
+        # 24 light samples at light_chunk=8 -> 3 chunks
+        nl = tuple(24 if n else 0 for n in soup.static.num_lights)
+        soup = dc.replace(soup, static=dc.replace(soup.static,
+                                                  num_lights=nl))
+        key = jax.random.PRNGKey(11)
+        imgs = {}
+        for name, cfg in {
+            "brute": RenderConfig(max_bounces=3, rounds=5, accel="none",
+                                  light_chunk=8),
+            "chunk": RenderConfig(max_bounces=3, rounds=5, accel="cluster",
+                                  shadow_mode="union",
+                                  union_scope="chunk", light_chunk=8),
+            "frame": RenderConfig(max_bounces=3, rounds=5, accel="cluster",
+                                  shadow_mode="union",
+                                  union_scope="frame", light_chunk=8),
+        }.items():
+            fn = make_renderer(soup.static, cfg, 24, 24, with_stats=True)
+            img, _, stats = fn(soup.params, key)
+            imgs[name] = np.asarray(img)
+            assert float(stats["shadow_spill_max"]) == 0.0, name
+        assert imgs["brute"].max() > 1e-3
+        for name in ("chunk", "frame"):
+            ad = np.abs(imgs[name] - imgs["brute"])
+            denom = np.maximum(np.abs(imgs["brute"]), 1e-6)
+            assert float((ad / denom).max()) < 1e-3, name
