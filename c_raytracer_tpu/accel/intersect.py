@@ -52,9 +52,9 @@ class Intersector:
     # over a mesh axis; folds all-reduce (geometry/sharded.py)
     shards: object | None = None
     # separate cluster set for the shadow sweep when its cluster size
-    # differs (union mode defaults to C=128: full VPU lanes in the
-    # (P, lc, C) Möller-Trumbore, ~8× fewer clusters to prefilter/gather);
-    # None -> the main set
+    # differs (union mode defaults to C=64: 4× the VPU lane utilization
+    # of the main C=16 clusters in the (P, lc, C) Möller-Trumbore and 4×
+    # fewer clusters to prefilter/gather); None -> the main set
     shadow_clusters: traverse.ClusterSet | None = None
 
     @property
