@@ -62,30 +62,46 @@ class Intersector:
         return (self.shadow_clusters if self.shadow_clusters is not None
                 else self.clusters)
 
-    def closest(self, o: V3, d: V3):
-        """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,)."""
+    def closest(self, o: V3, d: V3, with_spill: bool = False):
+        """(t, gid, mat, normal V3) over the whole scene; o/d V3 of (P,).
+
+        ``with_spill``: also return a per-lane int32 count of overlapped
+        clusters beyond the visit budget (0 on the brute-force paths —
+        those are exhaustive by construction).  The live-render closest-hit
+        truncation guard (validate.py policy: spill == 0 proves the sweep
+        exhaustive; best-t pruning usually masks spill > 0)."""
         if self.shards is not None and self.clusters is None:
             from c_raytracer_tpu.geometry import sharded
-            return sharded.closest_hit_sharded(self.ds, self.static,
-                                               self.shards, o, d)
+            out = sharded.closest_hit_sharded(self.ds, self.static,
+                                              self.shards, o, d)
+            return out + (jnp.zeros(jnp.shape(o.x), jnp.int32),) \
+                if with_spill else out
         if self.clusters is None:
-            return G.closest_hit_soa(self.ds, self.static, o, d,
-                                     tri_chunk=self.cfg.tri_chunk)
+            out = G.closest_hit_soa(self.ds, self.static, o, d,
+                                    tri_chunk=self.cfg.tri_chunk)
+            return out + (jnp.zeros(jnp.shape(o.x), jnp.int32),) \
+                if with_spill else out
         t, gid, mat, n = G.closest_hit_soa(
             self.ds, self.static, o, d, include_triangles=False)
         o2, d2 = v3m.to_aos(o), v3m.to_aos(d)
         if self.shards is not None:
-            sweep = self._closest_clusters_sharded
+            def sweep(args):
+                return self._closest_clusters_sharded(args, with_spill)
         else:
             def sweep(args):
                 return traverse.closest_hit_clusters(
                     self.clusters, args[0], args[1], tuple(args[2]),
                     visits=self._visits,
-                    pallas_visit=self._use_pallas_visit(self.clusters),
-                    dead_skip=self._dead_skip)
+                    pallas_visit=self._use_pallas_visit(self.clusters,
+                                                        self._visits),
+                    dead_skip=self._dead_skip,
+                    with_spill=with_spill)
         out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
                             o2.shape[0])
-        t, gid, n_aos = out
+        if with_spill:
+            t, gid, n_aos, spill = out
+        else:
+            t, gid, n_aos = out
         # triangle winners need a material gather (the only one on this
         # path; spheres/planes carried theirs statically)
         ns = self.static.n_spheres
@@ -93,9 +109,12 @@ class Intersector:
         mat_tri = self.ds.mat_idx[jnp.clip(gid, 0, self.ds.mat_idx.shape[0]
                                            - 1)]
         mat = jnp.where(is_tri, mat_tri, mat)
+        if with_spill:
+            return t, gid, mat, v3m.from_aos(n_aos), \
+                jax.lax.stop_gradient(spill)
         return t, gid, mat, v3m.from_aos(n_aos)
 
-    def _closest_clusters_sharded(self, args):
+    def _closest_clusters_sharded(self, args, with_spill: bool = False):
         """Per-shard sorted cluster sweep (vmapped over the pr axis), then
         the cross-shard min-t fold of geometry/sharded.py: global min over
         t, ties to the lowest global prim id, winner data via masked sums
@@ -109,9 +128,14 @@ class Intersector:
                      jnp.full((R,), INT32_MAX, jnp.int32),
                      jnp.zeros((R, 3), jnp.float32))
             return traverse.closest_hit_clusters(
-                cs, o2, d2, best0, visits=self._visits)
+                cs, o2, d2, best0, visits=self._visits,
+                with_spill=with_spill)
 
-        ts, gs, nv = jax.vmap(per_shard)(self.clusters)   # (S, R, ...)
+        if with_spill:
+            ts, gs, nv, sp = jax.vmap(per_shard)(self.clusters)
+            spill = jnp.max(sp, axis=0)                    # (R,)
+        else:
+            ts, gs, nv = jax.vmap(per_shard)(self.clusters)  # (S, R, ...)
         tm = ts.min(axis=0)
         gcand = jnp.where(ts == tm[None], gs, INT32_MAX)
         gm = gcand.min(axis=0)
@@ -119,9 +143,10 @@ class Intersector:
             & (tm < traverse.FLT_MAX)[None]
         nw = jnp.sum(win[..., None].astype(jnp.float32) * nv, axis=0)
         better = tm < bt                                   # tris fold last
-        return (jnp.where(better, tm, bt),
-                jnp.where(better, gm, bg),
-                jnp.where(better[:, None], nw, bn_aos))
+        out = (jnp.where(better, tm, bt),
+               jnp.where(better, gm, bg),
+               jnp.where(better[:, None], nw, bn_aos))
+        return out + (spill,) if with_spill else out
 
     def retest(self, o: V3, d: V3, gid):
         """Single-primitive inside-object re-test (render.c:143-144).
@@ -136,42 +161,60 @@ class Intersector:
                 self.ds, self.static, self.shards, o, d, gid)
         return G.intersect_prim_soa(self.ds, o, d, gid)
 
-    def any_tint(self, o: V3, d: V3, max_dist, exclude_gid):
-        """(blocked, tint V3) shadow query; component shapes arbitrary."""
+    def any_tint(self, o: V3, d: V3, max_dist, exclude_gid,
+                 with_spill: bool = False):
+        """(blocked, tint V3) shadow query; component shapes arbitrary.
+
+        ``with_spill``: also return a per-lane int32 count of in-range
+        overlapped clusters beyond the shadow visit budget — the per_ray
+        mode's runtime kt-truncation guard (0 on the exhaustive
+        brute-force paths)."""
+        lead = jnp.shape(d.x)
         if self.shards is not None and self.clusters is None:
             from c_raytracer_tpu.geometry import sharded
-            return sharded.any_hit_tint_sharded(
+            out = sharded.any_hit_tint_sharded(
                 self.ds, self.static, self.shards, o, d, max_dist,
                 exclude_gid)
+            return out + (jnp.zeros(lead, jnp.int32),) if with_spill \
+                else out
         if self.clusters is None:
-            return G.any_hit_tint_soa(self.ds, self.static, o, d, max_dist,
-                                      exclude_gid,
-                                      tri_chunk=self.cfg.tri_chunk)
+            out = G.any_hit_tint_soa(self.ds, self.static, o, d, max_dist,
+                                     exclude_gid,
+                                     tri_chunk=self.cfg.tri_chunk)
+            return out + (jnp.zeros(lead, jnp.int32),) if with_spill \
+                else out
         blocked, tint = G.any_hit_tint_soa(
             self.ds, self.static, o, d, max_dist, exclude_gid,
             include_triangles=False)
-        lead = jnp.shape(d.x)
         o2 = jnp.broadcast_to(v3m.to_aos(o), lead + (3,)).reshape(-1, 3)
         d2 = v3m.to_aos(d).reshape(-1, 3)
         ex = jnp.broadcast_to(jnp.asarray(exclude_gid, jnp.int32),
                               lead).reshape(-1)
         if self.shards is not None:
-            sweep = self._any_tint_clusters_sharded
+            def sweep(args):
+                return self._any_tint_clusters_sharded(args, with_spill)
         else:
             def sweep(args):
                 return traverse.any_hit_tint_clusters(
                     self.clusters, args[0], args[1], args[2], args[3],
                     tuple(args[4]),
                     visits=self._shadow_visits,
-                    pallas_visit=self._use_pallas_visit(self.clusters),
-                    dead_skip=self._dead_skip)
+                    pallas_visit=self._use_pallas_visit(
+                        self.clusters, self._shadow_visits),
+                    dead_skip=self._dead_skip,
+                    with_spill=with_spill)
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(sweep, flat, flat[0].shape[0])
+        if with_spill:
+            (blocked, tint), spill = out
+            return (blocked.reshape(lead),
+                    v3m.from_aos(tint.reshape(lead + (3,))),
+                    jax.lax.stop_gradient(spill.reshape(lead)))
         blocked, tint = out
         return (blocked.reshape(lead), v3m.from_aos(tint.reshape(lead + (3,))))
 
-    def _any_tint_clusters_sharded(self, args):
+    def _any_tint_clusters_sharded(self, args, with_spill: bool = False):
         """Shadow fold with per-shard cluster sweeps: per-shard
         blocked/tint accumulators start empty, combine by any-reduce and
         ordered tint product over the (static, small) shard axis — the
@@ -184,12 +227,18 @@ class Intersector:
             acc0 = (jnp.zeros((R,), bool), jnp.ones((R, 3), jnp.float32))
             return traverse.any_hit_tint_clusters(
                 cs, o2, d2, md, ex, acc0,
-                visits=self._shadow_visits)
+                visits=self._shadow_visits, with_spill=with_spill)
 
-        blk_s, tint_s = jax.vmap(per_shard)(self.clusters)  # (S, R[, 3])
+        if with_spill:
+            (blk_s, tint_s), sp = jax.vmap(per_shard)(self.clusters)
+            spill = jnp.max(sp, axis=0)
+        else:
+            blk_s, tint_s = jax.vmap(per_shard)(self.clusters)  # (S, R[, 3])
         blocked = blocked | jnp.any(blk_s, axis=0)
         for k in range(blk_s.shape[0]):
             tint = tint * tint_s[k]
+        if with_spill:
+            return (blocked, tint), spill
         return blocked, tint
 
     @property
@@ -203,9 +252,12 @@ class Intersector:
             return mode == "on"
         return any(self.static.is_transparent)
 
-    def _use_pallas_visit(self, cs) -> bool:
+    def _use_pallas_visit(self, cs, visits: int) -> bool:
         """Whether _visit_order routes through the fused VMEM kernel
-        (config.pallas_visit; platform + VMEM eligibility)."""
+        (config.pallas_visit; platform + VMEM eligibility).  ``visits``
+        must be the CALL SITE's actual budget — the shadow sweep's budget
+        can exceed the closest-hit one, and eligibility guards the
+        kernel's V-dependent VMEM stack."""
         mode = getattr(self.cfg, "pallas_visit", "off")
         if mode == "off" or cs is None:
             return False
@@ -215,9 +267,7 @@ class Intersector:
         if mode == "on":
             return True
         return pallas_visit.eligible(
-            0, -(-K // 128) * 128,
-            self.cfg.resolved_visits(any(self.static.is_transparent)),
-            rng._target_platform())
+            0, -(-K // 128) * 128, visits, rng._target_platform())
 
     @property
     def _visits(self) -> int:

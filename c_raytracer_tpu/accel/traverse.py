@@ -247,13 +247,25 @@ def _k_smallest_payload(key, payload, V):
 
 
 def _visit_order(cs: ClusterSet, o, d, visits: int,
-                 use_pallas: bool = False):
-    """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V))
-    sorted by entry distance.  Selection only — gradients stopped.
+                 use_pallas: bool = False, count_max_dist=None):
+    """Slab-test all clusters, return (cids (R,V), ok (R,V), entry (R,V),
+    spill (R,)) sorted by entry distance.  Selection only — gradients
+    stopped.
+
+    ``spill`` is the per-ray count of overlapping clusters BEYOND the V
+    budget (the live-render truncation guard: spill == 0 proves the sweep
+    saw every overlapped cluster).  With ``count_max_dist`` (R,) only
+    clusters entered before that distance are counted — in-range clusters
+    sort before out-of-range ones (entry-ascending order), so
+    in-range-count ≤ V still guarantees every in-range cluster made the
+    list (the per-ray shadow sweep's exactness criterion).
 
     ``use_pallas``: route through the fused VMEM kernel
-    (accel/pallas_visit.py) — identical outputs, keys never touch HBM;
-    callers gate on platform/eligibility via RenderConfig.pallas_visit."""
+    (accel/pallas_visit.py) — identical cids/ok/entry, keys never touch
+    HBM; the kernel does not materialize the overlap mask, so spill is a
+    lower bound (count of live list slots minus V, i.e. 0) there — callers
+    gate on platform/eligibility via RenderConfig.pallas_visit (default
+    off)."""
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     K = cs.lo.shape[0]
@@ -278,7 +290,8 @@ def _visit_order(cs: ClusterSet, o, d, visits: int,
             op, dp, lo, hi, V=V, block_rays=BR)
         cids = jnp.minimum(cids[:R], K - 1)  # pad-row ids only on dead lanes
         entry = entry[:R]
-        return cids, entry < FLT_MAX, entry
+        return (cids, entry < FLT_MAX, entry,
+                jnp.zeros(cids.shape[0], jnp.int32))
     # robust slab test (Williams et al., accel.c:111-158): div-by-zero
     # yields ±inf which min/max handle; 0*inf NaN is avoided by nudging d
     dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
@@ -289,13 +302,17 @@ def _visit_order(cs: ClusterSet, o, d, visits: int,
     tmax = jnp.maximum(t1, t2).min(-1)
     entry = jnp.maximum(tmin, 0.0)
     overlap = tmax >= entry                               # (R, K)
+    counted = (overlap if count_max_dist is None
+               else overlap & (entry < count_max_dist[:, None]))
+    spill = jnp.maximum(
+        jnp.sum(counted, axis=-1, dtype=jnp.int32) - V, 0)
     key = jnp.where(overlap, entry, FLT_MAX)
     # top_k, not _k_smallest: K here is the full cluster count (~1-6k), and
     # V extraction passes re-stream the (R, K) keys from HBM — measured a
     # wash-to-loss vs the sort on scene4 512²; _k_smallest wins only on
     # small key blocks (the shortlist's V·C)
     neg_top, idx = jax.lax.top_k(-key, V)                 # (R, V)
-    return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top
+    return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top, spill
 
 
 def spill_counts(cs: ClusterSet, o, d, visits: int):
@@ -410,11 +427,16 @@ def _mt_block(blk, o, d):
 
 def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
                          pallas_visit: bool = False,
-                         dead_skip: bool = True):
+                         dead_skip: bool = True,
+                         with_spill: bool = False):
     """Fold the nearest-``visits`` clusters' triangles into ``best``.
 
     o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
-    sphere/plane pre-pass.  Returns the updated best tuple.
+    sphere/plane pre-pass.  Returns the updated best tuple; with
+    ``with_spill`` also a per-ray (R,) int32 count of overlapped clusters
+    beyond the budget (the live-render closest-hit truncation guard —
+    spill > 0 does not prove a wrong hit, best-t pruning usually masks
+    it, but spill == 0 proves the sweep exhaustive; validate.py policy).
 
     The visit scan carries only (t, gid) — the winning lane's id is
     arithmetic (cluster id × C + argmin lane), so the loop runs with NO
@@ -426,7 +448,7 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
     result — the min over a batch equals the sequential strictly-smaller
     fold, with flattened argmin preserving first-visit-wins ties)."""
     C = cs.blk.shape[2]
-    cids, ok, entry = _visit_order(cs, o, d, visits, pallas_visit)
+    cids, ok, entry, spill = _visit_order(cs, o, d, visits, pallas_visit)
     V = cids.shape[1]
     bt0, bg0, bn0 = best
 
@@ -469,13 +491,16 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
     k, c = ti // C, ti % C
     nrm = jnp.stack([cs.blk[k, _F_N + i, c] for i in range(3)], -1)
     bn = jnp.where(won[:, None], nrm, bn0)
+    if with_spill:
+        return bt, bg, bn, spill
     return bt, bg, bn
 
 
 def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
                           acc, *, visits: int,
                           pallas_visit: bool = False,
-                          dead_skip: bool = True):
+                          dead_skip: bool = True,
+                          with_spill: bool = False):
     """Fold cluster triangles into the shadow accumulators (blocked, tint).
 
     o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
@@ -485,9 +510,17 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
     estimand) — so scenes with NO transparent material statically reduce
     to a single any() over candidates with no material lookups at all.
     Visits are nearest-first so opaque blocking is found even when the
-    overlap count exceeds V."""
+    overlap count exceeds V.
+
+    ``with_spill``: also return a per-ray (R,) count of IN-RANGE
+    (entry < max_dist) overlapped clusters beyond the budget — the
+    per-ray shadow sweep's runtime truncation guard (a spilled in-range
+    cluster on a transparent scene can drop kt factors; spill == 0
+    proves the tint product exhaustive)."""
     C = cs.blk.shape[2]
-    cids, ok, entry = _visit_order(cs, o, d, visits, pallas_visit)
+    cids, ok, entry, spill = _visit_order(
+        cs, o, d, visits, pallas_visit,
+        count_max_dist=max_dist if with_spill else None)
     V = cids.shape[1]
     has_transp = cs.has_transp
 
@@ -521,6 +554,8 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
                             lambda acc: acc, acc), None
 
     acc, _ = jax.lax.scan(body, acc, jnp.arange(V))
+    if with_spill:
+        return acc, spill
     return acc
 
 

@@ -28,12 +28,20 @@ the reference's exhaustive BVH walk (accel.c:322-387).  The policy:
   are not individually provable this way; ``tuned_config`` applies the
   measured primary budget times a headroom factor, and ``accel='none'``
   remains the always-exact fallback.
-* **runtime guard (union shadow mode)** — the r4 union sweep counts its
-  OWN truncation on every render: ``shadow_union_visit_order`` returns
-  per-pixel spill, the integrator carries the frame max in the stats
-  vector (``shadow_spill_max``), and the CLI warns loudly under
-  ``--stats`` when it is nonzero — silent kt truncation cannot ship a
-  wrong frame on the default transparent path.
+* **runtime guard (always on)** — every sweep that can truncate counts
+  its OWN truncation on every render: the union sweep's per-pixel union
+  spill (``shadow_union_visit_order``), the per_ray sweep's in-range
+  segment spill (``any_hit_tint_clusters(with_spill=True)``) and the
+  closest-hit sweeps' overlap-rank spill
+  (``closest_hit_clusters(with_spill=True)``) — including GI-child
+  shades and traces inside ``_gi_path``.  The integrator carries the
+  frame maxima in the stats vector (``shadow_spill_max``,
+  ``visit_spill_max``) and the CLI warns loudly on EVERY invocation
+  (with or without ``--stats``) when either is nonzero — silent kt
+  truncation cannot ship an unreported frame on any engine path
+  (plain, ``--stats``, or progressive).  The shared-mode capsule list
+  and the shortlist carry no runtime counter (opaque-scene policy
+  above); use ``--accel-report`` for those.
 """
 
 from __future__ import annotations

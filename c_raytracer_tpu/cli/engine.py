@@ -50,6 +50,8 @@ OPTIONAL PARAMETERS:
 [--accel-report]                 : DEFAULT = OFF     : print the acceleration spill report (accel/validate.py).
 [--accel-tune]                   : DEFAULT = OFF     : auto-raise visit budgets until the measured spill is zero.
 [--shadow-mode] (string)         : DEFAULT = auto    : soft-shadow sweep (auto | shared | per_ray | union).
+[--visits] (integer)             : DEFAULT = auto    : closest-hit cluster visit budget (bvh_visits).
+[--shadow-visits] (integer)      : DEFAULT = auto    : shadow-sweep cluster visit budget (bvh_shadow_visits).
 """
 
 
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
     import jax
 
     from c_raytracer_tpu.image import write_tiff_raw, write_tiff_rgb8
-    from c_raytracer_tpu.render import RenderConfig, render
+    from c_raytracer_tpu.render import RenderConfig
     from c_raytracer_tpu.scene import load_scene
 
     inp, outp = argv[0], argv[1]
@@ -108,8 +110,18 @@ def main(argv=None) -> int:
     if v:
         kw["attenuation_offset"] = float(v[0])
     v = _flag(argv, "--shadow-mode")
-    if v and v[0] in ("auto", "shared", "per_ray", "union"):
+    if v:
+        if v[0] not in ("auto", "shared", "per_ray", "union"):
+            print("Invalid --shadow-mode [%s]: expected one of "
+                  "auto | shared | per_ray | union." % v[0])
+            return 1
         kw["shadow_mode"] = v[0]
+    v = _flag(argv, "--visits")
+    if v:
+        kw["bvh_visits"] = abs(int(v[0]))
+    v = _flag(argv, "--shadow-visits")
+    if v:
+        kw["bvh_shadow_visits"] = abs(int(v[0]))
     cfg = RenderConfig(**kw)
 
     scale = None
@@ -153,6 +165,26 @@ def main(argv=None) -> int:
     chunks = _flag(argv, "--chunks")
     ckpt = _flag(argv, "--checkpoint")
     import time as _time
+
+    def warn_spill(stats):
+        """Always-on runtime truncation guard: loud, not fatal — raise
+        the budgets or use --accel-tune (accel/validate.py policy)."""
+        sspill = float(stats.get("shadow_spill_max", 0.0))
+        vspill = float(stats.get("visit_spill_max", 0.0))
+        if sspill > 0:
+            printf_log(
+                "WARNING: shadow visit budget EXCEEDED by up to %.0f "
+                "clusters per pixel — the kt tint product may have "
+                "dropped blockers (light leak).  Raise bvh_shadow_visits "
+                "or run with --accel-tune.", sspill)
+        if vspill > 0:
+            printf_log(
+                "WARNING: closest-hit visit budget EXCEEDED by up to "
+                "%.0f clusters per ray (nearest-first pruning usually "
+                "masks this; spill 0 would prove exhaustiveness).  Raise "
+                "bvh_visits or run with --accel-tune.", vspill)
+        return sspill == 0 and vspill == 0
+
     t_render = _time.perf_counter()
     if chunks or ckpt:
         from c_raytracer_tpu.render import render_progressive
@@ -175,20 +207,17 @@ def main(argv=None) -> int:
             total, float(stats["main_rays"]), float(stats["shadow_rays"]),
             float(stats["gi_rays"]), float(stats["dropped"]), dt,
             total / dt)
-        spill = float(stats.get("shadow_spill_max", 0.0))
-        if spill > 0:
-            # runtime truncation guard: a transparent scene with shadow
-            # spill can silently leak light (lost kt factors).  Loud, not
-            # fatal — raise bvh_shadow_visits or use --accel-tune.
-            printf_log(
-                "WARNING: shadow visit budget EXCEEDED by up to %.0f "
-                "clusters per pixel — the kt tint product may have "
-                "dropped blockers (light leak).  Raise bvh_shadow_visits "
-                "or run with --accel-tune.", spill)
-        else:
+        if warn_spill(stats):
             printf_log("Shadow sweep exhaustive (spill 0).")
     else:
-        img, z = render(scene, cfg, resx, resy, key)
+        # the truncation guard is ALWAYS on: a plain invocation of an
+        # adversarial low-budget scene must warn, not silently ship a
+        # truncated frame (the guard counters are scalar max-reduces over
+        # masks the sweeps already compute)
+        from c_raytracer_tpu.render import make_renderer
+        fn = make_renderer(scene.static, cfg, resx, resy, with_stats=True)
+        img, z, stats = fn(scene.params, key)
+        warn_spill(stats)
     img = np.asarray(img)
     z = np.asarray(z)
 

@@ -69,9 +69,9 @@ def make_renderer(static: T.SceneStatic, cfg: RenderConfig,
         color = color.reshape(-1, 3)[:n_pixels].reshape(resy, resx, 3)
         z = z.reshape(-1)[:n_pixels].reshape(resy, resx)
         if with_stats:
-            # counters sum over tiles; the spill guard is a MAX (worst
+            # counters sum over tiles; the spill guards are a MAX (worst
             # per-pixel truncation anywhere in the frame)
-            stats = {k: (jnp.max(v) if k == "shadow_spill_max"
+            stats = {k: (jnp.max(v) if k.endswith("_spill_max")
                          else jnp.sum(v)) for k, v in out[2].items()}
             return color, z, stats
         return color, z
@@ -81,7 +81,8 @@ def make_renderer(static: T.SceneStatic, cfg: RenderConfig,
 
 def make_host_tiled_renderer(static: T.SceneStatic, cfg: RenderConfig,
                              resx: int, resy: int, *,
-                             tiles_per_call: int = 1):
+                             tiles_per_call: int = 1,
+                             with_stats: bool = False):
     """Forward renderer that issues ONE device program per tile batch.
 
     Same tile decomposition and per-tile key stream as ``make_renderer``
@@ -91,7 +92,12 @@ def make_host_tiled_renderer(static: T.SceneStatic, cfg: RenderConfig,
     run for minutes — remote-attached accelerators (the axon tunnel) kill
     long device calls, and a host-side loop also bounds device memory and
     lets a driver checkpoint between batches.  Forward only (no grads
-    across the host loop)."""
+    across the host loop).
+
+    ``with_stats``: aggregate per-batch traced-ray counters host-side
+    (sums; ``*_spill_max`` guards by max) and return them as a third
+    output — the flagship runs carry the same runtime truncation guard
+    as the single-program renderer."""
     n_pixels = resx * resy
     tile_cfg = cfg.tile_size
     if tile_cfg is None:
@@ -117,7 +123,8 @@ def make_host_tiled_renderer(static: T.SceneStatic, cfg: RenderConfig,
 
         def one_tile(args):
             to, td, tkey = args
-            return render_wavefront(ds, static, cfg, tkey, to, td)
+            return render_wavefront(ds, static, cfg, tkey, to, td,
+                                    with_stats=with_stats)
 
         if tiles_per_call == 1:
             out = one_tile((o_b[0], d_b[0], keys_b[0]))
@@ -130,14 +137,23 @@ def make_host_tiled_renderer(static: T.SceneStatic, cfg: RenderConfig,
         o_t, d_t = prep(params)
         keys = jax.random.split(key, n_tiles)
         colors, zs = [], []
+        stats = {}
         for b0 in range(0, n_tiles, tiles_per_call):
             b1 = min(b0 + tiles_per_call, n_tiles)
-            c, z = run_batch(params, o_t[b0:b1], d_t[b0:b1], keys[b0:b1])
-            colors.append(np.asarray(c))
-            zs.append(np.asarray(z))
+            out = run_batch(params, o_t[b0:b1], d_t[b0:b1], keys[b0:b1])
+            colors.append(np.asarray(out[0]))
+            zs.append(np.asarray(out[1]))
+            if with_stats:
+                for k, v in out[2].items():
+                    v = (np.max(np.asarray(v)) if k.endswith("_spill_max")
+                         else np.sum(np.asarray(v)))
+                    stats[k] = (max(stats.get(k, 0.0), float(v))
+                                if k.endswith("_spill_max")
+                                else stats.get(k, 0.0) + float(v))
         color = np.concatenate(colors).reshape(-1, 3)[:n_pixels]
         z = np.concatenate(zs).reshape(-1)[:n_pixels]
-        return (color.reshape(resy, resx, 3), z.reshape(resy, resx))
+        img = (color.reshape(resy, resx, 3), z.reshape(resy, resx))
+        return img + (stats,) if with_stats else img
 
     return render_fn
 

@@ -47,6 +47,19 @@ class RenderConfig:
     gi_chunk: int = 1               # hemisphere samples per scan step
     tri_chunk: int = 2048           # triangles per intersection scan step
 
+    # spp-chunk composition (render/progressive.render_spp_chunked): this
+    # render evaluates GI sample indices [offset, offset+spp) of a
+    # conceptual (spp × weight)-sample frame.  The host MEAN of `weight`
+    # such chunk renders (same base key, offsets 0, spp, 2·spp, …) equals
+    # the single-call render at spp×weight EXACTLY up to float summation
+    # order: the fold_in sample keys coincide, direct lighting is
+    # sample-index-independent (identical in every chunk, so the mean
+    # preserves it), and the one-sample secondary-hit GI runs only in the
+    # offset-0 chunk pre-weighted by `weight` so the mean restores its
+    # unit weight (render.c:271-287 semantics).  Defaults = single call.
+    gi_sample_offset: int = 0
+    gi_chunk_weight: int = 1
+
     # rematerialize each wavefront round in the backward pass: residuals
     # of the shadow/GI chunk scans otherwise exceed HBM at production
     # resolutions (trade FLOPs for memory, the standard TPU recipe)

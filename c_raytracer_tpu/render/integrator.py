@@ -54,10 +54,12 @@ def _trace(ix, o: V3, d: V3, inside):
     uses its hit even if other geometry is closer.  ``inside=None`` skips
     the re-test entirely (chain mode and GI rays never enter objects).
 
-    Returns (t, gid, mat, normal V3)."""
-    tc, gc, mc, nc = ix.closest(o, d)
+    Returns (t, gid, mat, normal V3, visit_spill (P,) int32) —
+    visit_spill is the closest-hit sweep's per-lane truncation count
+    (0 on exhaustive paths; the always-on runtime guard)."""
+    tc, gc, mc, nc, sp = ix.closest(o, d, with_spill=True)
     if inside is None:
-        return tc, gc, mc, nc
+        return tc, gc, mc, nc, sp
     ti, hi, ni = ix.retest(o, d, inside)
     use_inside = (inside >= 0) & hi
     t = jnp.where(use_inside, ti, tc)
@@ -65,7 +67,7 @@ def _trace(ix, o: V3, d: V3, inside):
     mat_in = ix.ds.mat_idx[jnp.clip(inside, 0, ix.ds.mat_idx.shape[0] - 1)]
     mat = jnp.where(use_inside, mat_in, mc)
     n = v3m.where(use_inside, ni, nc)
-    return t, gid, mat, n
+    return t, gid, mat, n, sp
 
 
 def _gi_path(ix, ds, static, cfg, key, aux, normal: V3, remaining, active):
@@ -89,31 +91,51 @@ def _gi_path(ix, ds, static, cfg, key, aux, normal: V3, remaining, active):
 
     # number of samples: spp at the primary depth, 1 otherwise
     # (render.c:271-277). delta = 1/n for primaries, 1 for secondaries.
+    # spp-chunk composition (config.gi_sample_offset/gi_chunk_weight):
+    # sample keys are fold_in(key, offset+i) so chunk renders evaluate
+    # disjoint index ranges of the same conceptual sample set; the
+    # one-sample secondary GI runs only in the offset-0 chunk, weighted
+    # by the chunk count so the host mean restores unit weight
+    off = getattr(cfg, "gi_sample_offset", 0)
+    w_sec = getattr(cfg, "gi_chunk_weight", 1)
     n_max = max(n_primary, 1)
-    delta = jnp.where(is_primary, 1.0 / jnp.float32(n_primary), 1.0)
+    delta = jnp.where(is_primary, 1.0 / jnp.float32(n_primary),
+                      jnp.float32(w_sec))
     lane_active_extra = is_primary  # lanes >= 1 only run for primaries
 
     hit_pt = aux["hit_pt"]
 
-    def sample_body(acc, i):
-        skey = jax.random.fold_in(key, i)
+    def sample_body(carry, i):
+        acc, ss, vs = carry
+        skey = jax.random.fold_in(key, off + i)
         k_dir, k_shade = jax.random.split(skey)
         sdir, cos = shading.sample_hemisphere(k_dir, normal, eps)
-        lane_ok = gi_active & ((i == 0) | lane_active_extra)
-        ct, cgid, cmat, cn = _trace(ix, hit_pt, sdir, None)
-        child_color, _ = shading.shade_basic(
+        # secondaries (one sample, lane i == 0) belong to the offset-0
+        # chunk only; other chunks run primary lanes exclusively
+        lane_ok = (gi_active & (((i == 0) | lane_active_extra)
+                                if off == 0 else lane_active_extra))
+        ct, cgid, cmat, cn, csp = _trace(ix, hit_pt, sdir, None)
+        child_color, caux = shading.shade_basic(
             ix, static, cfg, k_shade, hit_pt, sdir, ct, cgid, cmat, cn,
             lane_ok)
+        # child shades run the same shadow sweeps as primaries — their
+        # truncation counters feed the runtime guard too (a path-traced
+        # transparent scene can spill only at child hit points, which see
+        # the highest cluster overlap; round-4 blind spot)
+        ss = jnp.maximum(ss, caux["shadow_spill"])
+        vs = jnp.maximum(vs, jnp.max(jnp.where(lane_ok, csp, 0)))
         # child's own kr = delta·cosθ; child's own segment attenuation
         child_color = child_color * (delta * cos)
         child_color = shading.attenuate_segment(cfg, child_color, ct)
         child_color = v3m.where(lane_ok & (cgid >= 0), child_color, 0.0)
-        return acc + child_color, None
+        return (acc + child_color, ss, vs), None
 
     body = (remat_mod.checkpoint(sample_body, cfg.remat_names)
             if cfg.remat else sample_body)
-    acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(n_max))
-    return acc
+    (acc, ss, vs), _ = jax.lax.scan(
+        body, (v3m.zeros(P), jnp.int32(0), jnp.int32(0)),
+        jnp.arange(n_max))
+    return acc, ss, vs
 
 
 def _round_shade(ix, static, cfg, k_shade, k_gi, ro: V3, rd: V3, rkr: V3,
@@ -125,21 +147,26 @@ def _round_shade(ix, static, cfg, k_shade, k_gi, ro: V3, rd: V3, rkr: V3,
     an object (chain mode).  Returns a dict of per-lane results."""
     ds = ix.ds
 
-    t, gid, mat, normal = _trace(ix, ro, rd, inside)
+    t, gid, mat, normal, tr_spill = _trace(ix, ro, rd, inside)
     hit = gid >= 0
     active_hit = active & hit
+    visit_spill = jnp.max(jnp.where(active, tr_spill, 0))
 
     obj_color, aux = shading.shade_basic(
         ix, static, cfg, k_shade, ro, rd, t, gid, mat, normal, active_hit)
     aux["gid"] = gid
+    shadow_spill = aux.get("shadow_spill", jnp.int32(0))
 
     # global illumination (render.c:232-289)
     if cfg.gi_model == GI_AMBIENT:
         ambient = shading.mat3(ds.materials.ka, mat) * v3m.splat(ds.ambient)
         obj_color = obj_color + v3m.where(active_hit, ambient, 0.0)
     else:
-        obj_color = obj_color + _gi_path(
+        gi_color, gi_ss, gi_vs = _gi_path(
             ix, ds, static, cfg, k_gi, aux, normal, remaining, active_hit)
+        obj_color = obj_color + gi_color
+        shadow_spill = jnp.maximum(shadow_spill, gi_ss)
+        visit_spill = jnp.maximum(visit_spill, gi_vs)
 
     # accumulate: kr ⊙ obj_color, per-segment attenuation (render.c:291-302)
     contrib = shading.attenuate_segment(cfg, rkr * obj_color, t)
@@ -167,7 +194,7 @@ def _round_shade(ix, static, cfg, k_shade, k_gi, ro: V3, rd: V3, rkr: V3,
         t=t, gid=gid, hit=hit, active_hit=active_hit, contrib=contrib,
         z_val=z_val, hit_pt=aux["hit_pt"],
         push_refl=push_refl, refl_d=refl_d, refl_kr=refl_kr,
-        shadow_spill=aux.get("shadow_spill", jnp.int32(0)),
+        shadow_spill=shadow_spill, visit_spill=visit_spill,
     )
 
     if with_refraction:
@@ -211,7 +238,7 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
     z0 = jnp.zeros(P, jnp.float32)
     kr0 = v3m.ones(P)
     live0 = jnp.ones(P, bool)
-    stats0 = jnp.zeros((6,), jnp.float32)
+    stats0 = jnp.zeros((7,), jnp.float32)
 
     def round_body(carry, round_i):
         (ro, rd, rkr, live, color, z, stats) = carry
@@ -243,10 +270,13 @@ def _render_chain(ds: G.DeviceScene, static: T.SceneStatic,
             n_hit * jnp.where(is_primary, gi_p, gi_s),          # gi rays
             jnp.sum(live2.astype(jnp.float32)),                 # children
             jnp.float32(0.0),                                   # dropped
-            jnp.float32(0.0),                                   # spill (max)
+            jnp.float32(0.0),                                   # shadow spill
+            jnp.float32(0.0),                                   # visit spill
         ])
         stats = stats.at[5].set(jnp.maximum(
             stats[5], r["shadow_spill"].astype(jnp.float32)))
+        stats = stats.at[6].set(jnp.maximum(
+            stats[6], r["visit_spill"].astype(jnp.float32)))
         return (r["hit_pt"], r["refl_d"], r["refl_kr"], live2, color, z,
                 stats)
 
@@ -349,7 +379,7 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
     st0 = _stack_init(o, d, cfg.max_bounces, cfg.stack_size)
     color0 = v3m.zeros(P)
     z0 = jnp.zeros(P, jnp.float32)
-    stats0 = jnp.zeros((6,), jnp.float32)
+    stats0 = jnp.zeros((7,), jnp.float32)
 
     def round_body(carry, round_i):
         st_in, color_in, z_in, stats_in = carry
@@ -401,10 +431,13 @@ def _render_stack(ds: G.DeviceScene, static: T.SceneStatic,
             (n_hit * gi_s + n_primary_hit * (gi_p - gi_s)),  # gi rays
             jnp.sum(pushed),                                # children pushed
             jnp.sum(wanted.astype(jnp.float32)) - jnp.sum(pushed),  # dropped
-            jnp.float32(0.0),                               # spill (max)
+            jnp.float32(0.0),                               # shadow spill
+            jnp.float32(0.0),                               # visit spill
         ])
         stats = stats.at[5].set(jnp.maximum(
             stats[5], r["shadow_spill"].astype(jnp.float32)))
+        stats = stats.at[6].set(jnp.maximum(
+            stats[6], r["visit_spill"].astype(jnp.float32)))
         return (st, color, z, stats)
 
     body = (remat_mod.checkpoint(round_body, cfg.remat_names)
@@ -426,10 +459,14 @@ def _finish(color: V3, z, stats, with_stats):
             gi_rays=stats[2],
             children_pushed=stats[3],
             dropped=stats[4],
-            # union shadow mode's runtime truncation guard: worst
-            # per-pixel visit spill across all rounds/emitters (0 proves
-            # every kt blocker was swept; GI child shades not counted)
+            # runtime truncation guards (always computed, CLI warns when
+            # nonzero): worst per-pixel SHADOW visit spill across all
+            # rounds/emitters/GI-child shades (union + per_ray modes; 0
+            # proves every kt blocker was swept) and worst CLOSEST-HIT
+            # cluster spill across all traces incl. GI children (best-t
+            # pruning usually masks it; 0 proves exhaustive)
             shadow_spill_max=stats[5],
+            visit_spill_max=stats[6],
         )
         return color, z, stats_dict
     return color, z

@@ -287,8 +287,11 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
     """Soft-shadow direct lighting over all emitters (render.c:170-229).
 
     All per-lane inputs are (P,); returns (V3 (P,) summed contribution,
-    shadow_spill scalar int32 — the worst union-sweep truncation across
-    emitters, 0 when exhaustive or when the mode carries no counter).
+    shadow_spill scalar int32 — the worst per-pixel visit truncation
+    across emitters in BOTH sweep modes that can truncate: the union
+    sweep's per-pixel union spill and the per_ray sweep's in-range
+    segment spill.  0 proves every kt blocker was swept; the shared-mode
+    capsule list and brute-force paths carry 0 by construction).
     Per emitter: ke/num_lights intensity per sample, num_lights samples
     scanned in chunks of cfg.light_chunk, each chunk an (lc, P) SoA batch.
     """
@@ -405,7 +408,7 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
                        _intensity=intensity, _lc=lc,
                        _num_lights=num_lights, _dirs=light_dirs,
                        _shadow=shadow_all):
-            acc = carry
+            acc, sp = carry
             ldir, ldist = _dirs(chunk_i)
             # materialize the sampled directions ONCE: they feed the shadow
             # sweep, the diffuse cosine and the specular term, and without
@@ -421,8 +424,16 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             a = v3m.dot(ldir, nrm_b)
 
             if _shadow is None:
-                blocked, tint = ix.any_tint(
-                    hit_pt.map(lambda x: x[None]), ldir, ldist, _egid)
+                blocked, tint, qspill = ix.any_tint(
+                    hit_pt.map(lambda x: x[None]), ldir, ldist, _egid,
+                    with_spill=True)
+                # per_ray mode's runtime kt-truncation guard: count only
+                # real sample lanes of shading-relevant pixels (the padded
+                # tail and self-lit/inside lanes never contribute light)
+                lane_real = ((active & is_outside & (gid != _egid))[None]
+                             & (chunk_i * _lc + lane_idx < _num_lights))
+                sp = jnp.maximum(
+                    sp, jnp.max(jnp.where(lane_real, qspill, 0)))
                 # save the mask across remat boundaries: backward then
                 # skips the occlusion re-trace entirely (core/remat.py)
                 blocked = remat.name_occlusion(blocked)
@@ -460,15 +471,18 @@ def direct_light(ix, static: T.SceneStatic, cfg: RenderConfig,
             sample_idx = chunk_i * _lc + lane_idx
             ok = ok & (sample_idx < _num_lights)
             contrib = v3m.where(ok, diffuse + spec, 0.0)
-            return acc + contrib.map(lambda x: jnp.sum(x, axis=0)), None
+            return (acc + contrib.map(lambda x: jnp.sum(x, axis=0)),
+                    sp), None
 
         # remat each chunk in the backward pass (saving only the named
         # occlusion masks): per-chunk MT/shade residuals are (lc, P)-shaped
         # and explode HBM at production resolutions
         body = (remat.checkpoint(chunk_body, cfg.remat_names)
                 if cfg.remat else chunk_body)
-        acc, _ = jax.lax.scan(body, v3m.zeros(P), jnp.arange(nchunks))
+        (acc, sp), _ = jax.lax.scan(body, (v3m.zeros(P), jnp.int32(0)),
+                                    jnp.arange(nchunks))
         total = total + acc
+        spill_max = jnp.maximum(spill_max, sp)
     return total, spill_max
 
 

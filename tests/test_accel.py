@@ -469,6 +469,99 @@ class TestUnionShadowMode:
         _, _, stats_bad = f_starved(soup.params, key)
         assert float(stats_bad["shadow_spill_max"]) > 0.0
 
+    def test_per_ray_runtime_spill_guard(self, soup):
+        """per_ray mode counts its own in-range segment truncation (a
+        user opting into --shadow-mode per_ray on a transparent scene
+        must get real runtime evidence, not a constant 0)."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        f_ok = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster",
+            shadow_mode="per_ray", light_chunk=4), 16, 16, with_stats=True)
+        _, _, stats_ok = f_ok(soup.params, key)
+        assert float(stats_ok["shadow_spill_max"]) == 0.0
+
+        f_starved = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster",
+            shadow_mode="per_ray", bvh_shadow_visits=1, light_chunk=4),
+            16, 16, with_stats=True)
+        _, _, stats_bad = f_starved(soup.params, key)
+        assert float(stats_bad["shadow_spill_max"]) > 0.0
+
+    def test_closest_hit_runtime_spill_guard(self, soup):
+        """The closest-hit sweeps carry an always-on overlap-rank spill
+        counter (visit_spill_max): starved visit budgets must report it,
+        generous ones must prove exhaustiveness with 0."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        K = None  # generous: budget = cluster count can never spill
+        f_ok = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster", bvh_visits=4096,
+            light_chunk=4), 16, 16, with_stats=True)
+        _, _, stats_ok = f_ok(soup.params, key)
+        assert float(stats_ok["visit_spill_max"]) == 0.0
+
+        f_starved = make_renderer(soup.static, RenderConfig(
+            max_bounces=2, rounds=3, accel="cluster", bvh_visits=1,
+            light_chunk=4), 16, 16, with_stats=True)
+        _, _, stats_bad = f_starved(soup.params, key)
+        assert float(stats_bad["visit_spill_max"]) > 0.0
+
+    def test_gi_child_spill_reaches_guard(self):
+        """GI child shades/traces feed the runtime guard (the round-4
+        blind spot: path-traced child hit points see the highest cluster
+        overlap, and their truncation was invisible to the stats).
+
+        Geometry built so PRIMARY work is spill-free under the starved
+        budgets — camera rays and primary shadow segments pass under the
+        triangle soup — while path-GI children bounce up into the soup:
+        ambient GI must report 0 spill, path GI must report > 0."""
+        import dataclasses
+
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.render import make_renderer
+        from c_raytracer_tpu.scene import types as T
+
+        base = _lit_soup()
+        p = base.params
+        # lift the soup triangles well above the floor (y ∈ [1, 7]); the
+        # camera looks STRAIGHT DOWN from just above the floor and the
+        # emitter sits at floor level, so every primary ray and every
+        # primary shadow segment stays under y ≈ -3.5, far below the
+        # soup's cluster AABBs — only upward GI children can cross them
+        verts = np.asarray(p.tri_vertices) + np.asarray(
+            [0.0, 4.0, 0.0], np.float32)
+        centers = np.asarray(p.sphere_center).copy()
+        centers[1] = [0.0, -3.5, -6.0]       # the emitter, low and behind
+        cam = dataclasses.replace(
+            p.camera,
+            position=jnp.asarray([0.0, -0.5, 0.0], jnp.float32),
+            vector_x=jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+            vector_y=jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        scene = dataclasses.replace(base, params=dataclasses.replace(
+            p, tri_vertices=jnp.asarray(verts),
+            sphere_center=jnp.asarray(centers), camera=cam))
+        scene = reorder_scene(scene)
+
+        key = jax.random.PRNGKey(3)
+        starved = dict(max_bounces=2, rounds=3, accel="cluster",
+                       bvh_visits=1, bvh_shadow_visits=1, light_chunk=4)
+        f_amb = make_renderer(scene.static, RenderConfig(
+            gi_model="ambient", **starved), 12, 12, with_stats=True)
+        _, _, st_amb = f_amb(scene.params, key)
+        f_path = make_renderer(scene.static, RenderConfig(
+            gi_model="path", samples_per_pixel=4, **starved), 12, 12,
+            with_stats=True)
+        _, _, st_path = f_path(scene.params, key)
+        amb = max(float(st_amb["shadow_spill_max"]),
+                  float(st_amb["visit_spill_max"]))
+        path = max(float(st_path["shadow_spill_max"]),
+                   float(st_path["visit_spill_max"]))
+        assert amb == 0.0, (
+            f"primary work unexpectedly spills ({st_amb}) — geometry no "
+            f"longer isolates the child-shade guard")
+        assert path > 0.0, "GI-child truncation invisible to the guard"
+
     def test_union_grads_match_brute(self, soup):
         """Vertex/material gradients through the union sweep vs brute."""
         from c_raytracer_tpu.render import make_renderer
@@ -552,7 +645,7 @@ class TestPallasVisitOrder:
         cs = ix.clusters
         K = cs.lo.shape[0]
         o, d = _rays(np.random.default_rng(5), 256)
-        cids0, ok0, entry0 = jax.jit(
+        cids0, ok0, entry0, _sp = jax.jit(
             lambda: traverse._visit_order(cs, o, d, V))()
         Kp = -(-K // 128) * 128
         inf = jnp.full((Kp - K, 3), np.float32(np.inf))

@@ -182,3 +182,135 @@ class TestGradVsFiniteDifferences:
         # eps/loss is ~6e-4 on TPU (measured), so the floor sits at 1e-3.
         check_component(loss, scene.params, g, getter, setter,
                         eps=2e-3, rtol=0.3, min_mag=1e-3)
+
+
+class TestNoiseTextureGrads:
+    """FD gate for the SimplexNoise texture chain (material.c:179-200):
+    tex_scale / tex_p1 / tex_p2 / tex_color / tex_color2 gradients flow
+    through ``core/noise.py`` end-to-end on scene2 (the noisy-periodic
+    reference scene).
+
+    The probed material (index 9, the noisy-periodic sphere in view at
+    24²) ships with the SAW envelope, whose wrap discontinuities put
+    delta functions in the true derivative that neither FD nor the
+    analytic gradient can represent — so this gate substitutes the SIN
+    envelope statically (tex_func is static topology) and checks the
+    smooth chain: point → simplex_noise(p·fs) → angle → sin → gradient
+    blend.  The saw/square envelopes keep their finite-and-nonzero
+    coverage via the scene2 golden + test_all_grads_finite."""
+
+    MAT = 9   # scene2 material id 10: noisy periodic on the 4th sphere
+    SIN = 0   # T.FUNC_SIN
+
+    @pytest.fixture(scope="class")
+    def setup2(self, reference_root):
+        scene = load_scene(
+            os.path.join(reference_root, "scenes/scene2.json"))
+        static = dataclasses.replace(
+            scene.static,
+            num_lights=tuple(min(n, 4) for n in scene.static.num_lights),
+            tex_func=tuple(self.SIN for _ in scene.static.tex_func))
+        cfg = RenderConfig(max_bounces=2, rounds=3)
+        fn = make_renderer(static, cfg, 24, 24, jit=False)
+        key = jax.random.PRNGKey(3)
+        w = jax.random.uniform(jax.random.PRNGKey(11), (24, 24, 3))
+
+        def loss(params):
+            img, _ = fn(params, key)
+            return jnp.sum(img * w)
+
+        g = jax.jit(jax.grad(loss))(scene.params)
+        return scene, jax.jit(loss), g
+
+    @pytest.mark.parametrize("field,idx,eps", [
+        # eps per parameter (CPU sweeps): the angle is
+        # (x + noise·tex_p1)·tex_p2 with tex_p2 = 40 on this material, so
+        # tex_p1 perturbations are amplified 40× — smallest step there
+        ("tex_scale", MAT, 1e-3),
+        ("tex_p1", MAT, 1e-4),
+        ("tex_p2", MAT, 1e-3),
+        ("tex_color", (MAT, 0), 1e-3),
+        ("tex_color2", (MAT, 1), 1e-3),
+    ])
+    def test_noise_texture_grads(self, setup2, field, idx, eps):
+        scene, loss, g = setup2
+
+        def getter(tree):
+            return getattr(tree.materials, field)[idx]
+
+        def setter(tree, v):
+            mats = dataclasses.replace(
+                tree.materials,
+                **{field: _set(getattr(tree.materials, field), idx, v)})
+            return dataclasses.replace(tree, materials=mats)
+
+        # measured agreement is ~5% (probe in the round-5 session);
+        # min_mag 5e-5: tex_p2's true gradient is O(3e-4) here and its
+        # FD reads are stable to 3% at this eps
+        check_component(loss, scene.params, g, getter, setter,
+                        eps=eps, rtol=0.15, min_mag=5e-5)
+
+
+class TestPathGIGrads:
+    """FD gate through the hemisphere-sampling path-GI estimator
+    (render.c:271-287): gradients of material and geometry parameters
+    with ``gi_model="path"`` must match finite differences — the sampled
+    directions are a deterministic function of (key, normal), so
+    material-parameter FD probes perturb the exact same program and
+    geometry probes move the normals smoothly."""
+
+    @pytest.fixture(scope="class")
+    def setup_path(self, reference_root):
+        scene = load_scene(
+            os.path.join(reference_root, "scenes/scene1.json"))
+        static = dataclasses.replace(
+            scene.static,
+            num_lights=tuple(min(n, 4) for n in scene.static.num_lights))
+        cfg = RenderConfig(max_bounces=2, rounds=3, gi_model="path",
+                           samples_per_pixel=4)
+        fn = make_renderer(static, cfg, 24, 24, jit=False)
+        key = jax.random.PRNGKey(3)
+        w = jax.random.uniform(jax.random.PRNGKey(11), (24, 24, 3))
+
+        def loss(params):
+            img, _ = fn(params, key)
+            return jnp.sum(img * w)
+
+        g = jax.jit(jax.grad(loss))(scene.params)
+        return scene, jax.jit(loss), g
+
+    @pytest.mark.parametrize("field,idx", [
+        # ke flows through BOTH the direct chain and the indirect child
+        # shade (the emitter lights the child hit points); tex_color/ks
+        # reach the loss through the cosine-weighted child accumulation
+        ("ke", (4, 1)), ("tex_color", (2, 1)), ("ks", (1, 2)),
+    ])
+    def test_material_grads_path(self, setup_path, field, idx):
+        scene, loss, g = setup_path
+
+        def getter(tree):
+            return getattr(tree.materials, field)[idx]
+
+        def setter(tree, v):
+            mats = dataclasses.replace(
+                tree.materials,
+                **{field: _set(getattr(tree.materials, field), idx, v)})
+            return dataclasses.replace(tree, materials=mats)
+
+        check_component(loss, scene.params, g, getter, setter,
+                        eps=1e-3, rtol=0.1, min_mag=5e-5)
+
+    def test_geometry_grads_path(self, setup_path):
+        """sphere_center through the path estimator: normals (and with
+        them the sampled hemisphere directions) move with the geometry."""
+        scene, loss, g = setup_path
+
+        def getter(tree):
+            return tree.sphere_center[1, 0]
+
+        def setter(tree, v):
+            return dataclasses.replace(
+                tree, sphere_center=_set(tree.sphere_center, (1, 0), v))
+
+        check_component(loss, scene.params, g, getter, setter,
+                        eps=2.5e-4, rtol=0.2)

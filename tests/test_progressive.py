@@ -63,3 +63,64 @@ class TestProgressive:
         fresh, _ = render_progressive(sc, cfg, 32, 32, jax.random.PRNGKey(2),
                                       chunks=2)
         np.testing.assert_allclose(img, fresh, atol=1e-7)
+
+
+class TestSppChunked:
+    """EXACT spp-chunk composition (render_spp_chunked): the host mean of
+    k offset chunks at spp/k samples each must equal the single-call
+    render at the full spp up to float summation order — the BASELINE
+    flagship's 256-spp = 4×64-spp composition, scaled down for CI."""
+
+    def test_chain_mode_equals_single_call(self, reference_root):
+        import dataclasses
+
+        from c_raytracer_tpu.render import make_renderer, render_spp_chunked
+        sc = _scene()
+        static = dataclasses.replace(
+            sc.static,
+            num_lights=tuple(min(n, 4) for n in sc.static.num_lights))
+        sc = dataclasses.replace(sc, static=static)
+        cfg = RenderConfig(max_bounces=2, rounds=3, gi_model="path",
+                           samples_per_pixel=8)
+        key = jax.random.PRNGKey(5)
+        single, z1 = make_renderer(sc.static, cfg, 24, 24)(sc.params, key)
+        single = np.asarray(single)
+        for host_tiled in (False, True):
+            img, z = render_spp_chunked(sc, cfg, 24, 24, key,
+                                        spp_chunks=2,
+                                        host_tiled=host_tiled)
+            np.testing.assert_allclose(
+                img, single, rtol=1e-4, atol=1e-6,
+                err_msg=f"host_tiled={host_tiled}")
+            # z is the primary-hit t: the chunked pass is a DIFFERENT
+            # compiled program (spp is a static shape), and XLA's fusion
+            # choices perturb the trace arithmetic by ~1 ulp
+            np.testing.assert_allclose(np.asarray(z), np.asarray(z1),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_stack_mode_equals_single_call(self):
+        """Transparent scene (stack integrator, per-lane primary depths):
+        secondary-hit GI must survive the chunk gating exactly."""
+        import dataclasses
+
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.accel.build import reorder_scene
+        from c_raytracer_tpu.render import make_renderer, render_spp_chunked
+        sc = reorder_scene(_lit_soup(nt=200))
+        cfg = RenderConfig(max_bounces=2, rounds=4, gi_model="path",
+                           samples_per_pixel=6, light_chunk=4)
+        key = jax.random.PRNGKey(9)
+        single, _ = make_renderer(sc.static, cfg, 16, 16)(sc.params, key)
+        img, _ = render_spp_chunked(sc, cfg, 16, 16, key, spp_chunks=3,
+                                    host_tiled=False)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(single),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_indivisible_spp_rejected(self):
+        import pytest
+
+        from c_raytracer_tpu.render import render_spp_chunked
+        sc = _scene()
+        cfg = RenderConfig(gi_model="path", samples_per_pixel=7)
+        with pytest.raises(ValueError):
+            render_spp_chunked(sc, cfg, 8, 8, spp_chunks=2)

@@ -316,3 +316,29 @@ class TestFlagshipScene5:
                 params.materials,
                 kt=params.materials.kt - 200.0 * g.materials.kt))
         assert losses[-1] < losses[0], losses
+
+    def test_spp_chunked_equals_single_call(self, reference_root):
+        """The 256-spp flagship composition on the flagship scene class:
+        spp-chunked host-tiled passes of scene5 (stack integrator, union
+        shadows, path GI) must mean to the single-call render at equal
+        total spp (render_spp_chunked exactness contract, CI-sized)."""
+        import dataclasses as dc
+        from c_raytracer_tpu.accel.build import reorder_scene
+        from c_raytracer_tpu.render import (make_renderer,
+                                            render_spp_chunked)
+        from c_raytracer_tpu.scene import load_scene
+
+        sc = reorder_scene(load_scene(
+            os.path.join(reference_root, "scenes/scene5.json")))
+        nl = tuple(min(n, 4) for n in sc.static.num_lights)
+        sc = dc.replace(sc, static=dc.replace(sc.static, num_lights=nl))
+        cfg = RenderConfig(gi_model="path", samples_per_pixel=4,
+                           light_chunk=4, max_bounces=3, rounds=5)
+        key = jax.random.PRNGKey(2)
+        single, _ = make_renderer(sc.static, cfg, 12, 12)(sc.params, key)
+        img, _, stats = render_spp_chunked(
+            sc, cfg, 12, 12, key, spp_chunks=2, host_tiled=True,
+            with_stats=True)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(single),
+                                   rtol=1e-4, atol=1e-7)
+        assert stats["shadow_spill_max"] == 0.0  # exactness guard held

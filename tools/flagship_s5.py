@@ -1,19 +1,24 @@
 """The BASELINE flagship config, end to end (BASELINE.json configs[4]):
 scene5 (glass dragon-class mesh, ~100k tris), path-traced global
-illumination at spp hemisphere samples, differentiable materials.
+illumination at 256 spp, differentiable materials.
 
-Two phases, both recorded as one JSON line each:
+Three phases, each recorded as one JSON line:
 
 1. **forward** — host-tiled path-traced render at (res, spp, lights):
    the exact transparent pipeline (union shadow sweeps, spill-guarded)
-   through make_host_tiled_renderer, one bounded device program per tile.
+   at the FULL BASELINE spp via the exact spp-chunk composition
+   (render_spp_chunked): spp_chunks passes of spp/spp_chunks samples,
+   each pass one bounded device program per tile, whose host mean equals
+   the single-call render bit-for-bit up to summation order
+   (tests/test_progressive.py::TestSppChunked).  The runtime truncation
+   guard (shadow/visit spill maxima) is recorded with the frame.
 2. **train** — a few SGD steps on the glass material's kt against a
    target frame, gradients through make_host_tiled_value_and_grad (the
    round-4 differentiable host-tiled path): loss must decrease.
 
-Usage:  python tools/flagship_s5.py [res] [spp] [lights] [train_res]
-Defaults (64, 64, 100, 24) fit the axon tunnel's device-call budget;
-raise spp to 256 for the full BASELINE line on unrestricted hardware.
+Usage:  python tools/flagship_s5.py [res] [spp] [lights] [train_res] [chunks]
+Defaults (64, 256, 100, 24, 4): the full BASELINE spp as 4×64-spp
+passes — each device call stays inside the axon tunnel's kill budget.
 """
 import dataclasses
 import json
@@ -29,14 +34,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from c_raytracer_tpu.accel.build import reorder_scene
-from c_raytracer_tpu.render import (RenderConfig, make_host_tiled_renderer,
-                                    make_host_tiled_value_and_grad)
+from c_raytracer_tpu.render import (RenderConfig,
+                                    make_host_tiled_renderer,
+                                    make_host_tiled_value_and_grad,
+                                    render_spp_chunked)
 from c_raytracer_tpu.scene import load_scene
 
 RES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 NL = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 TRAIN_RES = int(sys.argv[4]) if len(sys.argv) > 4 else 24
+CHUNKS = int(sys.argv[5]) if len(sys.argv) > 5 else max(1, SPP // 64)
 
 
 def cap_lights(scene, nl):
@@ -48,24 +56,31 @@ def cap_lights(scene, nl):
 def main():
     scene = cap_lights(
         reorder_scene(load_scene("/root/reference/scenes/scene5.json")), NL)
-    print(f"scene5: {scene.static.n_triangles} tris, lights capped {NL}",
-          file=sys.stderr)
+    print(f"scene5: {scene.static.n_triangles} tris, lights capped {NL}, "
+          f"spp {SPP} as {CHUNKS} chunks", file=sys.stderr)
 
-    # ---- phase 1: path-traced forward, host-tiled --------------------
+    # ---- phase 1: path-traced forward at full spp, host-tiled ---------
     # small tiles: spp hemisphere samples each shade full direct lighting
     # (render.c:272-277), so a 2048-px tile call would exceed the axon
     # tunnel's device-call budget at spp 64
     cfg = RenderConfig(gi_model="path", samples_per_pixel=SPP,
                        tile_size=512)
-    fwd = make_host_tiled_renderer(scene.static, cfg, RES, RES)
     t0 = time.perf_counter()
-    img, z = fwd(scene.params, jax.random.PRNGKey(0))
+    img, z, stats = render_spp_chunked(
+        scene, cfg, RES, RES, jax.random.PRNGKey(0), spp_chunks=CHUNKS,
+        host_tiled=True, with_stats=True,
+        log=lambda m, *a: print(m % a, file=sys.stderr))
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(img))
     print(json.dumps({
         "phase": "forward", "res": RES, "spp": SPP, "lights": NL,
+        "spp_chunks": CHUNKS,
         "seconds": round(dt, 2), "total_radiance": float(np.sum(img)),
         "mean_radiance": float(np.mean(img)),
+        "shadow_spill_max": stats.get("shadow_spill_max", 0.0),
+        "visit_spill_max": stats.get("visit_spill_max", 0.0),
+        "total_rays": stats.get("main_rays", 0.0)
+        + stats.get("shadow_rays", 0.0) + stats.get("gi_rays", 0.0),
     }), flush=True)
 
     # ---- phase 2: differentiable materials, host-tiled grads ---------

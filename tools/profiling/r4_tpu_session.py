@@ -126,7 +126,7 @@ o = jnp.asarray(rngnp.uniform(-3, 3, (R, 3)).astype(np.float32))
 dn = rngnp.normal(size=(R, 3)).astype(np.float32)
 d = jnp.asarray(dn / np.linalg.norm(dn, axis=-1, keepdims=True))
 V = 16
-f_x = jax.jit(lambda o, d: traverse._visit_order(cs, o, d, V))
+f_x = jax.jit(lambda o, d: traverse._visit_order(cs, o, d, V)[:3])
 cids0, ok0, entry0 = jax.block_until_ready(f_x(o, d))
 Kp = -(-K // 128) * 128
 inf = jnp.full((Kp - K, 3), np.float32(np.inf))
