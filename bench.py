@@ -173,6 +173,87 @@ def measure_scene5():
     return total / dt, dt
 
 
+def measure_scene4_train(rays_per_pixel_s4):
+    """scene4 512² fwd+bwd: one value_and_grad train step (L2 loss vs a
+    black target) through the cluster-traversal renderer — the mesh
+    workload's differentiable cost (BASELINE metric "fwd and fwd+bwd").
+
+    The program is compile-checked against device HBM BEFORE executing:
+    a device-side OOM can wedge the remote TPU worker (round-4 lesson),
+    so an infeasible residual footprint returns -1 instead of running."""
+    import jax
+    import jax.numpy as jnp
+
+    from c_raytracer_tpu.accel import reorder_scene
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    res = 512
+    scene = reorder_scene(
+        load_scene("/root/reference/scenes/scene4.json",
+                   mesh_root="/root/reference"))
+    fn = make_renderer(scene.static, RenderConfig(), res, res, jit=False)
+
+    def loss(params, key):
+        img, _ = fn(params, key)
+        return jnp.mean(img * img)
+
+    g = jax.jit(jax.grad(loss))
+    lowered = g.lower(scene.params, jax.random.PRNGKey(0))
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    budget = 14e9
+    temp = getattr(mem, "temp_size_in_bytes", 0) or 0
+    if temp > budget:
+        return -1.0, -1.0, temp
+    out = compiled(scene.params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    n_iters = 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = compiled(scene.params, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    return res * res * rays_per_pixel_s4 / dt, dt, temp
+
+
+def measure_scene5_vg():
+    """scene5 64² host-tiled value_and_grad (path GI, spp 4, 24-sample
+    lights): the flagship differentiable transparent workload's standing
+    perf artifact — seconds per full-frame gradient, every device call
+    bounded (tile 512)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from c_raytracer_tpu.accel import reorder_scene
+    from c_raytracer_tpu.render import (RenderConfig,
+                                        make_host_tiled_value_and_grad)
+    from c_raytracer_tpu.scene import load_scene
+
+    scene = reorder_scene(
+        load_scene("/root/reference/scenes/scene5.json",
+                   mesh_root="/root/reference"))
+    nl = tuple(min(n, 24) for n in scene.static.num_lights)
+    scene = dataclasses.replace(
+        scene, static=dataclasses.replace(scene.static, num_lights=nl))
+    cfg = RenderConfig(gi_model="path", samples_per_pixel=4,
+                       light_chunk=8, tile_size=512)
+
+    def pixel_loss(color, z, tgt):
+        return jnp.sum(color * color, axis=-1)
+
+    vg = make_host_tiled_value_and_grad(scene.static, cfg, 64, 64,
+                                        pixel_loss)
+    key = jax.random.PRNGKey(0)
+    vg(scene.params, key)              # compile all tile programs
+    t0 = time.perf_counter()
+    loss, g = vg(scene.params, key)
+    dt = time.perf_counter() - t0
+    return dt
+
+
 def measure_reference():
     """Build + run the reference C engine; returns rays/s or None."""
     try:
@@ -220,6 +301,15 @@ def main():
         s5_rays_per_s, s5_dt = measure_scene5()
     except Exception:
         s5_rays_per_s, s5_dt = -1.0, -1.0
+    try:
+        s4_bwd_rays_per_s, s4_bwd_dt, s4_bwd_temp = measure_scene4_train(
+            s4_rays_per_s * s4_dt / (512 * 512) if s4_dt > 0 else 266.0)
+    except Exception:
+        s4_bwd_rays_per_s, s4_bwd_dt, s4_bwd_temp = -1.0, -1.0, -1
+    try:
+        s5_vg_dt = measure_scene5_vg()
+    except Exception:
+        s5_vg_dt = -1.0
 
     ref = measure_reference()
     if ref is not None:
@@ -245,6 +335,9 @@ def main():
             "scene4_512_seconds": round(s4_dt, 4),
             "scene5_64_l100_rays_per_s": round(s5_rays_per_s),
             "scene5_64_l100_seconds": round(s5_dt, 4),
+            "scene4_512_fwd_bwd_rays_per_s": round(s4_bwd_rays_per_s),
+            "scene4_512_fwd_bwd_seconds": round(s4_bwd_dt, 4),
+            "scene5_64_vg_path_spp4_l24_seconds": round(s5_vg_dt, 4),
             "device": __import__("jax").devices()[0].platform,
         },
     }))

@@ -95,7 +95,9 @@ class Intersector:
                     pallas_visit=self._use_pallas_visit(self.clusters,
                                                         self._visits),
                     dead_skip=self._dead_skip,
-                    with_spill=with_spill)
+                    with_spill=with_spill,
+                    super_group=self._super_group(self.clusters),
+                    super_sel=self.cfg.bvh_super_sel)
         out = self._chunked(sweep, (o2, d2, [t, gid, v3m.to_aos(n)]),
                             o2.shape[0])
         if with_spill:
@@ -202,7 +204,9 @@ class Intersector:
                     pallas_visit=self._use_pallas_visit(
                         self.clusters, self._shadow_visits),
                     dead_skip=self._dead_skip,
-                    with_spill=with_spill)
+                    with_spill=with_spill,
+                    super_group=self._super_group(self.clusters),
+                    super_sel=self.cfg.bvh_super_sel)
         flat = (o2, d2, max_dist.reshape(-1), ex,
                 [blocked.reshape(-1), v3m.to_aos(tint).reshape(-1, 3)])
         out = self._chunked(sweep, flat, flat[0].shape[0])
@@ -240,6 +244,15 @@ class Intersector:
         if with_spill:
             return (blocked, tint), spill
         return blocked, tint
+
+    def _super_group(self, cs) -> int:
+        """Super-prefilter group size for this cluster set (config auto:
+        opaque scenes with enough clusters; 0 disables)."""
+        if cs is None:
+            return 0
+        K = cs.lo.shape[-2] if cs.lo.ndim == 3 else cs.lo.shape[0]
+        return self.cfg.resolved_super_group(
+            any(self.static.is_transparent), K)
 
     @property
     def _dead_skip(self) -> bool:

@@ -315,6 +315,93 @@ def _visit_order(cs: ClusterSet, o, d, visits: int,
     return idx.astype(jnp.int32), -neg_top < FLT_MAX, -neg_top, spill
 
 
+def _visit_order_super(cs: ClusterSet, o, d, visits: int, G: int, S: int,
+                       count_max_dist=None):
+    """Two-level visit-order: slab-test the Ks = ceil(K/G) SUPER-clusters
+    (unions of G consecutive Morton clusters — any contiguous Morton run
+    is spatially tight), keep the nearest S supers per ray, then slab-test
+    only their S·G member clusters and extract the nearest V.
+
+    Shrinks the key block both top_k phases pay for from (R, K) to
+    (R, Ks) + (R, S·G) — for scene4 (K=1725, G=S=16): 108 + 256 keys per
+    ray instead of 1725 (the round-3 "named next lever",
+    accel.c:322-353's tree descent recast as two sorted batch levels).
+
+    Exactness: a ray overlapping more than S supers may lose clusters in
+    the (S+1)-th-nearest super; the returned spill counts BOTH levels
+    (member-cluster spill + G × super spill — a conservative upper
+    bound), so the always-on runtime guard reports any truncation.
+    Returns (cids (R,V), ok (R,V), entry (R,V), spill (R,)) exactly like
+    _visit_order."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    K = cs.lo.shape[0]
+    # the candidate pool is the S selected supers' members — a V beyond
+    # S·G has nothing to pick (the spill counter accounts the truncation)
+    V = max(1, min(visits, K, S * G))
+    Ks = -(-K // G)
+    pad = Ks * G - K
+    lo = jax.lax.stop_gradient(cs.lo)
+    hi = jax.lax.stop_gradient(cs.hi)
+    if pad:   # pad rows lo=+max, hi=-max never overlap any ray
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), FLT_MAX)])
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -FLT_MAX)])
+    slo = lo.reshape(Ks, G, 3).min(1)
+    shi = hi.reshape(Ks, G, 3).max(1)
+
+    dd = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv = 1.0 / dd
+
+    def slab(blo, bhi):
+        """Componentwise slab test vs a gathered or broadcast AABB set;
+        blo/bhi (R, M, 3) or (M, 3).  Returns (entry, overlap) (R, M)."""
+        if blo.ndim == 2:
+            blo = blo[None]
+            bhi = bhi[None]
+        t1 = (blo - o[:, None, :]) * inv[:, None, :]
+        t2 = (bhi - o[:, None, :]) * inv[:, None, :]
+        tmin = jnp.minimum(t1, t2).max(-1)
+        tmax = jnp.maximum(t1, t2).min(-1)
+        entry = jnp.maximum(tmin, 0.0)
+        return entry, tmax >= entry
+
+    # level 1: supers
+    s_entry, s_ov = slab(slo, shi)                        # (R, Ks)
+    s_counted = (s_ov if count_max_dist is None
+                 else s_ov & (s_entry < count_max_dist[:, None]))
+    s_spill = jnp.maximum(
+        jnp.sum(s_counted, axis=-1, dtype=jnp.int32) - S, 0)
+    s_key = jnp.where(s_ov, s_entry, FLT_MAX)
+    if S > 32:
+        neg, sel = jax.lax.top_k(-s_key, S)
+        sel = sel.astype(jnp.int32)
+    else:
+        _, sel = _k_smallest(s_key, S)                    # (R, S)
+
+    # level 2: member clusters of the selected supers
+    cand = (sel[:, :, None] * G
+            + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+            ).reshape(o.shape[0], S * G)                  # (R, S·G)
+    glo = lo[cand]                                        # (R, S·G, 3)
+    ghi = hi[cand]
+    entry, ov = slab(glo, ghi)                            # (R, S·G)
+    counted = (ov if count_max_dist is None
+               else ov & (entry < count_max_dist[:, None]))
+    spill = jnp.maximum(
+        jnp.sum(counted, axis=-1, dtype=jnp.int32) - V, 0) \
+        + jnp.int32(G) * s_spill
+    key = jnp.where(ov, entry, FLT_MAX)
+    if V > 32:
+        neg_top, pos = jax.lax.top_k(-key, V)
+        vals = -neg_top
+        cids = jnp.take_along_axis(cand, pos, axis=1)
+    else:
+        vals, cids = _k_smallest_payload(key, cand, V)
+    ok = vals < FLT_MAX
+    cids = jnp.where(ok, cids, 0)
+    return cids, ok, vals, spill
+
+
 def spill_counts(cs: ClusterSet, o, d, visits: int):
     """Diagnostic: per-ray count of slab-overlapping clusters and how many
     exceeded the visit budget (the closest-hit sweep's truncation).
@@ -428,7 +515,8 @@ def _mt_block(blk, o, d):
 def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
                          pallas_visit: bool = False,
                          dead_skip: bool = True,
-                         with_spill: bool = False):
+                         with_spill: bool = False,
+                         super_group: int = 0, super_sel: int = 16):
     """Fold the nearest-``visits`` clusters' triangles into ``best``.
 
     o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
@@ -448,7 +536,12 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
     result — the min over a batch equals the sequential strictly-smaller
     fold, with flattened argmin preserving first-visit-wins ties)."""
     C = cs.blk.shape[2]
-    cids, ok, entry, spill = _visit_order(cs, o, d, visits, pallas_visit)
+    if super_group:
+        cids, ok, entry, spill = _visit_order_super(
+            cs, o, d, visits, super_group, super_sel)
+    else:
+        cids, ok, entry, spill = _visit_order(cs, o, d, visits,
+                                              pallas_visit)
     V = cids.shape[1]
     bt0, bg0, bn0 = best
 
@@ -500,7 +593,8 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
                           acc, *, visits: int,
                           pallas_visit: bool = False,
                           dead_skip: bool = True,
-                          with_spill: bool = False):
+                          with_spill: bool = False,
+                          super_group: int = 0, super_sel: int = 16):
     """Fold cluster triangles into the shadow accumulators (blocked, tint).
 
     o, d: (R, 3); max_dist, exclude_gid: (R,); acc: (blocked (R,), tint
@@ -518,9 +612,14 @@ def any_hit_tint_clusters(cs: ClusterSet, o, d, max_dist, exclude_gid,
     cluster on a transparent scene can drop kt factors; spill == 0
     proves the tint product exhaustive)."""
     C = cs.blk.shape[2]
-    cids, ok, entry, spill = _visit_order(
-        cs, o, d, visits, pallas_visit,
-        count_max_dist=max_dist if with_spill else None)
+    if super_group:
+        cids, ok, entry, spill = _visit_order_super(
+            cs, o, d, visits, super_group, super_sel,
+            count_max_dist=max_dist if with_spill else None)
+    else:
+        cids, ok, entry, spill = _visit_order(
+            cs, o, d, visits, pallas_visit,
+            count_max_dist=max_dist if with_spill else None)
     V = cids.shape[1]
     has_transp = cs.has_transp
 

@@ -110,6 +110,28 @@ class RenderConfig:
                                     # ints always win
     bvh_ray_chunk: int = 32768      # rays per cluster-gather chunk
 
+    # two-level super-cluster prefilter (traverse._visit_order_super):
+    # slab-test ceil(K/G) unions of G consecutive Morton clusters first,
+    # then only the nearest-S supers' members — shrinks the (R, K) key
+    # block the visit-order top_k pays for.  MEASURED NEGATIVE on chip
+    # (round 5, scene4 512²): G=8/S=48 is bit-exact vs dense but takes
+    # 1.49 s vs 0.645 s — the per-ray member-AABB row gathers
+    # ((R, S·G, 3)×2) run at the measured 74-82 GB/s gather ceiling,
+    # while the dense (R, K) slab test streams broadcast AABBs at
+    # 327-355 GB/s and is compute-bound; shrinking the top_k keys cannot
+    # pay for replacing a stream with gathers (PERFORMANCE.md round 5).
+    # Default OFF (auto = 0); kept as a tested opt-in with its own
+    # spill accounting (super-level spill counted ×G, so a scene that
+    # outgrows S warns through the always-on runtime guard).
+    bvh_super_group: int | None = None
+    bvh_super_sel: int = 16         # supers kept per ray (S)
+
+    def resolved_super_group(self, any_transparent: bool,
+                             n_clusters: int) -> int:
+        if self.bvh_super_group is not None:
+            return self.bvh_super_group
+        return 0
+
     # fused Pallas shadow-sample kernel (render/fused_shadow.py): sample
     # generation + occlusion + shade + per-channel reduction for one light
     # chunk in a single VMEM-resident kernel, for eligible dense scenes on

@@ -507,6 +507,41 @@ class TestUnionShadowMode:
         _, _, stats_bad = f_starved(soup.params, key)
         assert float(stats_bad["visit_spill_max"]) > 0.0
 
+    def test_super_prefilter_parity_and_guard(self):
+        """Opt-in two-level super prefilter (_visit_order_super; measured
+        negative on chip, config.bvh_super_group): with S covering every
+        super the render must equal the dense visit order exactly; with a
+        starved S the always-on guard must report super-level spill."""
+        from test_parallel import _lit_soup
+        from c_raytracer_tpu.render import make_renderer
+        soup = reorder_scene(_lit_soup(nt=2000, transparent=False))
+        K = -(-2000 // 16)          # clusters at C=16
+        Ks = -(-K // 16)            # supers at G=16
+        key = jax.random.PRNGKey(1)
+        # visits >= K: full coverage on both paths — any budget below
+        # the true overlap makes the kept-set tie-break-dependent for
+        # inside-cluster origins (entry 0 ties), which is truncation
+        # policy, not a parity target
+        base = dict(max_bounces=2, rounds=3, accel="cluster",
+                    light_chunk=4, bvh_visits=128)
+        f_dense = make_renderer(soup.static, RenderConfig(
+            bvh_super_group=0, **base), 16, 16, with_stats=True)
+        img_d, _, st_d = f_dense(soup.params, key)
+        f_super = make_renderer(soup.static, RenderConfig(
+            bvh_super_group=16, bvh_super_sel=Ks, **base), 16, 16,
+            with_stats=True)
+        img_s, _, st_s = f_super(soup.params, key)
+        np.testing.assert_array_equal(np.asarray(img_s), np.asarray(img_d))
+        assert float(st_s["visit_spill_max"]) == \
+            float(st_d["visit_spill_max"])
+
+        f_starved = make_renderer(soup.static, RenderConfig(
+            bvh_super_group=16, bvh_super_sel=1, **base), 16, 16,
+            with_stats=True)
+        _, _, st_b = f_starved(soup.params, key)
+        assert float(st_b["visit_spill_max"]) > \
+            float(st_d["visit_spill_max"])
+
     def test_gi_child_spill_reaches_guard(self):
         """GI child shades/traces feed the runtime guard (the round-4
         blind spot: path-traced child hit points see the highest cluster
