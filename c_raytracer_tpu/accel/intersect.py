@@ -245,6 +245,24 @@ class Intersector:
             return (blocked, tint), spill
         return blocked, tint
 
+    def _union_compact_block(self, n_pixels: int) -> int:
+        """Sub-block size for union-mode pixel compaction (0 = off).
+
+        config.union_compact: "auto" enables it when the pixel batch is
+        large enough for the length skew to matter and divides cleanly
+        into power-of-two blocks; explicit "on"/"off" override."""
+        mode = getattr(self.cfg, "union_compact", "auto")
+        if mode == "off":
+            return 0
+        pb = 256
+        while pb >= 32 and n_pixels % pb:
+            pb //= 2
+        if n_pixels % pb or n_pixels // pb < 2:
+            return 0
+        if mode == "on":
+            return pb
+        return pb if n_pixels >= 512 else 0
+
     def _super_group(self, cs) -> int:
         """Super-prefilter group size for this cluster set (config auto:
         opaque scenes with enough clusters; 0 disables)."""
@@ -435,9 +453,52 @@ class Intersector:
                     return acc, spill_max
                 cids, ok, spill = traverse.shadow_union_visit_order(
                     cs, origin_aos, cached_dirs, nchunks, uv)
-                acc = traverse.any_hit_tint_shared(
-                    cs, origin_aos, cids, ok, cached_dirs, nchunks, acc,
-                    remat=remat, dead_skip=self._dead_skip)
+                pb = self._union_compact_block(origin_aos.shape[0])
+                if pb:
+                    # pixel compaction by union length: the batch-level
+                    # dead-step cond exits at the BATCH's max list length,
+                    # so a handful of inside-the-glass pixels (unions of
+                    # 110+) keep every background lane (unions of ~3)
+                    # streaming.  Sort pixels by their union length,
+                    # sweep in sub-blocks of pb sorted pixels via
+                    # lax.map — each block's cond exits at ITS OWN max —
+                    # and inverse-permute the accumulators.  Permutation
+                    # indices come from stop_gradient'd masks, so
+                    # gradients flow through the gathers unchanged.
+                    n_len = jnp.sum(ok, axis=1)               # (P,)
+                    order = jnp.argsort(n_len)
+                    inv = jnp.argsort(order)
+                    B = origin_aos.shape[0] // pb
+
+                    def blk(x):
+                        return x[order].reshape((B, pb) + x.shape[1:])
+
+                    # (P, nc, lc, 3) / (P, nc, lc) permuted dir caches
+                    d_p = blk(jnp.moveaxis(dirs_aos, 2, 0))
+                    md_p = blk(jnp.moveaxis(ldist_all, 2, 0))
+                    ops = (blk(cids), blk(ok), blk(origin_aos),
+                           jax.tree.map(blk, acc), d_p, md_p)
+
+                    def block_sweep(args):
+                        cids_b, ok_b, org_b, acc_b, d_b, md_b = args
+
+                        def dirs_b(ci):
+                            md = md_b[:, ci]
+                            return (d_b[:, ci], md,
+                                    jnp.full(md.shape, egid, jnp.int32))
+
+                        return traverse.any_hit_tint_shared(
+                            cs, org_b, cids_b, ok_b, dirs_b, nchunks,
+                            acc_b, remat=remat, dead_skip=True)
+
+                    acc_b = jax.lax.map(block_sweep, ops)
+                    acc = jax.tree.map(
+                        lambda x: x.reshape((B * pb,) + x.shape[2:])[inv],
+                        acc_b)
+                else:
+                    acc = traverse.any_hit_tint_shared(
+                        cs, origin_aos, cids, ok, cached_dirs, nchunks,
+                        acc, remat=remat, dead_skip=self._dead_skip)
                 return acc, jnp.max(spill)
             cids, ok = traverse.shadow_visit_order(
                 cs, origin_aos, emitter_lo, emitter_hi,

@@ -169,6 +169,15 @@ class RenderConfig:
     # tested opt-in for low-lc configs.
     union_scope: str = "auto"       # "auto" | "frame" | "chunk"
 
+    # union-mode pixel compaction: sort the tile's pixels by their union
+    # LENGTH and run the sweep in sub-blocks of ~256 sorted pixels
+    # (lax.map), so each block's dead-step cond exits at its own max
+    # list length instead of the whole batch's — inside-the-glass pixels
+    # (unions of 110+) no longer keep background lanes (unions of ~3)
+    # streaming.  Costs two small permutation gathers of the per-pixel
+    # state.  "auto" = on for union batches >= 512 pixels.
+    union_compact: str = "auto"     # "auto" | "on" | "off"
+
     # per-visit dead-step cond in the cluster sweeps: "auto" enables it
     # for transparent scenes (generous budgets, mostly-dead tails) and
     # disables it for opaque tight budgets where every step is live and

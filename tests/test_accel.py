@@ -469,6 +469,44 @@ class TestUnionShadowMode:
         _, _, stats_bad = f_starved(soup.params, key)
         assert float(stats_bad["shadow_spill_max"]) > 0.0
 
+    def test_union_compact_bit_identical(self, soup):
+        """Pixel compaction by union length (union_compact): per-pixel
+        fold order is unchanged, so the compacted sweep must be
+        BIT-identical to the uncompacted one — image and gradients."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        # 32² = 1024 px ≥ 512: auto compaction engages
+        mk = lambda mode, stats=True: make_renderer(  # noqa: E731
+            soup.static, RenderConfig(
+                max_bounces=2, rounds=3, shadow_mode="union",
+                light_chunk=4, union_compact=mode), 32, 32,
+            with_stats=stats)
+        i0, _, s0 = mk("off")(soup.params, key)
+        i1, _, s1 = mk("on")(soup.params, key)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        assert float(s0["shadow_spill_max"]) == \
+            float(s1["shadow_spill_max"])
+
+        w = jax.random.uniform(jax.random.PRNGKey(5), (32, 32, 3))
+
+        def grad_of(mode):
+            fn = make_renderer(soup.static, RenderConfig(
+                max_bounces=2, rounds=3, shadow_mode="union",
+                light_chunk=4, union_compact=mode), 32, 32, jit=False)
+            return jax.jit(jax.grad(
+                lambda p: jnp.sum(fn(p, key)[0] * w)))(soup.params)
+
+        g0, g1 = grad_of("off"), grad_of("on")
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g0)[0],
+                jax.tree_util.tree_flatten_with_path(g1)[0]):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-9)
+            assert np.allclose(a, b, atol=1e-6 * scale), (
+                jax.tree_util.keystr(path))
+
     def test_per_ray_runtime_spill_guard(self, soup):
         """per_ray mode counts its own in-range segment truncation (a
         user opting into --shadow-mode per_ray on a transparent scene

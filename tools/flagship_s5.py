@@ -62,9 +62,17 @@ def main():
     # ---- phase 1: path-traced forward at full spp, host-tiled ---------
     # small tiles: spp hemisphere samples each shade full direct lighting
     # (render.c:272-277), so a 2048-px tile call would exceed the axon
-    # tunnel's device-call budget at spp 64
+    # tunnel's device-call budget at spp 64.
+    # Exactness-first budgets: the default 192/64 budgets are exact for
+    # PRIMARY scene5 work, but path-GI child shades originate inside the
+    # glass mesh and see deeper unions — the always-on runtime guard
+    # measured shadow spill 73 / closest spill 29 there (round 5), so
+    # the flagship config ships the guard-derived budgets (dead-step
+    # conds make the extra slots nearly free; spill 0 in the output
+    # proves the frame exhaustive)
     cfg = RenderConfig(gi_model="path", samples_per_pixel=SPP,
-                       tile_size=512)
+                       tile_size=512, bvh_shadow_visits=288,
+                       bvh_visits=104)
     t0 = time.perf_counter()
     img, z, stats = render_spp_chunked(
         scene, cfg, RES, RES, jax.random.PRNGKey(0), spp_chunks=CHUNKS,
