@@ -512,38 +512,11 @@ def _mt_block(blk, o, d):
     return t, hit
 
 
-def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
-                         pallas_visit: bool = False,
-                         dead_skip: bool = True,
-                         with_spill: bool = False,
-                         super_group: int = 0, super_sel: int = 16):
-    """Fold the nearest-``visits`` clusters' triangles into ``best``.
-
-    o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
-    sphere/plane pre-pass.  Returns the updated best tuple; with
-    ``with_spill`` also a per-ray (R,) int32 count of overlapped clusters
-    beyond the budget (the live-render closest-hit truncation guard —
-    spill > 0 does not prove a wrong hit, best-t pruning usually masks
-    it, but spill == 0 proves the sweep exhaustive; validate.py policy).
-
-    The visit scan carries only (t, gid) — the winning lane's id is
-    arithmetic (cluster id × C + argmin lane), so the loop runs with NO
-    per-ray data gathers (profiling: four take_along_axis gathers per
-    visit were ~16% of a scene4 frame).  The winner's normal is fetched
-    once after the sweep with a single 3-component gather.  Visits are
-    processed _VISIT_BATCH per step; pruning against the running best
-    happens at batch granularity (weaker within a batch, identical fold
-    result — the min over a batch equals the sequential strictly-smaller
-    fold, with flattened argmin preserving first-visit-wins ties)."""
+def _closest_scan(cs, cids, ok, entry, o, d, bt0, bg0, dead_skip: bool):
+    """The visit scan of ``closest_hit_clusters`` over ONE ray batch:
+    fold each ray's sorted visit list into (best_t, best_gid)."""
     C = cs.blk.shape[2]
-    if super_group:
-        cids, ok, entry, spill = _visit_order_super(
-            cs, o, d, visits, super_group, super_sel)
-    else:
-        cids, ok, entry, spill = _visit_order(cs, o, d, visits,
-                                              pallas_visit)
     V = cids.shape[1]
-    bt0, bg0, bn0 = best
 
     def body(b, v):
         bt, bg = b
@@ -576,6 +549,77 @@ def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
                             lambda args: args, (bt, bg)), None
 
     (bt, bg), _ = jax.lax.scan(body, (bt0, bg0), jnp.arange(V))
+    return bt, bg
+
+
+def closest_hit_clusters(cs: ClusterSet, o, d, best, *, visits: int,
+                         pallas_visit: bool = False,
+                         dead_skip: bool = True,
+                         with_spill: bool = False,
+                         super_group: int = 0, super_sel: int = 16,
+                         compact_block: int = 0):
+    """Fold the nearest-``visits`` clusters' triangles into ``best``.
+
+    o, d: (R, 3); best: (t (R,), gid (R,), normal (R, 3)) from the
+    sphere/plane pre-pass.  Returns the updated best tuple; with
+    ``with_spill`` also a per-ray (R,) int32 count of overlapped clusters
+    beyond the budget (the live-render closest-hit truncation guard —
+    spill > 0 does not prove a wrong hit, best-t pruning usually masks
+    it, but spill == 0 proves the sweep exhaustive; validate.py policy).
+
+    The visit scan carries only (t, gid) — the winning lane's id is
+    arithmetic (cluster id × C + argmin lane), so the loop runs with NO
+    per-ray data gathers (profiling: four take_along_axis gathers per
+    visit were ~16% of a scene4 frame).  The winner's normal is fetched
+    once after the sweep with a single 3-component gather.
+
+    ``compact_block`` > 0 (dividing R with ≥2 blocks): sort rays by
+    visit-list length and run the scan in sub-blocks of that many sorted
+    rays (each block's dead-step cond exits at its own max length) —
+    bit-identical per-ray results, see the inline note."""
+    C = cs.blk.shape[2]
+    if super_group:
+        cids, ok, entry, spill = _visit_order_super(
+            cs, o, d, visits, super_group, super_sel)
+    else:
+        cids, ok, entry, spill = _visit_order(cs, o, d, visits,
+                                              pallas_visit)
+    bt0, bg0, bn0 = best
+
+    R = o.shape[0]
+    if compact_block and R % compact_block == 0 and R // compact_block >= 2:
+        # ray compaction by visit-list length (the closest-hit analogue of
+        # union pixel compaction, intersect.py shadow_query): sort rays by
+        # list length, scan in sub-blocks of ``compact_block`` sorted rays
+        # via lax.map (each block's cond exits at its own max length),
+        # inverse-permute the fold results.  Per-ray fold order is
+        # unchanged — results are bit-identical; the permutation indices
+        # are integer (no gradient), and the o/d/best gathers they drive
+        # are differentiable, so gradients ride through unchanged.
+        # Measured negative-to-neutral on scene4 (config.closest_compact
+        # note): ships as a tested opt-in, default off.
+        n_len = jnp.sum(ok, axis=1)
+        order = jnp.argsort(n_len)
+        inv = jnp.argsort(order)
+        B = R // compact_block
+
+        def blk(x):
+            return x[order].reshape((B, compact_block) + x.shape[1:])
+
+        margs = (blk(cids), blk(ok), blk(entry), blk(o), blk(d),
+                 blk(bt0), blk(bg0))
+
+        def block_scan(args):
+            cids_b, ok_b, entry_b, o_b, d_b, bt_b, bg_b = args
+            return _closest_scan(cs, cids_b, ok_b, entry_b, o_b, d_b,
+                                 bt_b, bg_b, dead_skip=True)
+
+        bt_b, bg_b = jax.lax.map(block_scan, margs)
+        bt = bt_b.reshape(-1)[inv]
+        bg = bg_b.reshape(-1)[inv]
+    else:
+        bt, bg = _closest_scan(cs, cids, ok, entry, o, d, bt0, bg0,
+                               dead_skip)
 
     # winner normal: one gather (differentiable w.r.t. the packed vertices,
     # exactly like the per-visit takes it replaces)

@@ -178,6 +178,20 @@ class RenderConfig:
     # state.  "auto" = on for union batches >= 512 pixels.
     union_compact: str = "auto"     # "auto" | "on" | "off"
 
+    # closest-hit ray compaction (traverse.closest_hit_clusters
+    # compact_block): sort each ray chunk by visit-list length and scan
+    # in sorted sub-blocks with per-block dead-step conds — the scene4
+    # analogue of union_compact.  MEASURED NEGATIVE-TO-NEUTRAL on chip
+    # (round 5, scene4 512²): the skew is real (primary visit lists mean
+    # 2.1 of 16, p50 0, p99 16) but 1024-ray blocks shrink each visit
+    # step to (1024, C=16) lanes and pay 32 conds per chunk — 1.43 s vs
+    # 0.645 s — while 8192-ray blocks are a wash (0.6435 s): the round-
+    # level dead-round conds already skip the dead-bounce work that
+    # compaction would harvest, unlike the union sweep whose huge
+    # (256, lc, 64) steps made per-block exits profitable.  Default OFF;
+    # kept as a bit-identity-tested opt-in ("on" = 8192-ray blocks).
+    closest_compact: str = "off"    # "on" | "off"
+
     # per-visit dead-step cond in the cluster sweeps: "auto" enables it
     # for transparent scenes (generous budgets, mostly-dead tails) and
     # disables it for opaque tight budgets where every step is live and

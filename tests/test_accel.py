@@ -507,6 +507,44 @@ class TestUnionShadowMode:
             assert np.allclose(a, b, atol=1e-6 * scale), (
                 jax.tree_util.keystr(path))
 
+    def test_closest_compact_bit_identical(self, soup):
+        """Closest-hit ray compaction (closest_compact): each ray folds
+        its own visit list in the same order regardless of batch
+        composition, so the compacted sweep must be BIT-identical to the
+        uncompacted one — image and gradients (the scene4 analogue of
+        union pixel compaction)."""
+        from c_raytracer_tpu.render import make_renderer
+        key = jax.random.PRNGKey(7)
+        # 48² = 2304 rays: block rule picks 256-ray sub-blocks (9 blocks)
+        mk = lambda mode: make_renderer(  # noqa: E731
+            soup.static, RenderConfig(
+                max_bounces=2, rounds=3, light_chunk=4,
+                closest_compact=mode), 48, 48)
+        i0, z0 = mk("off")(soup.params, key)
+        i1, z1 = mk("on")(soup.params, key)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+        w = jax.random.uniform(jax.random.PRNGKey(5), (48, 48, 3))
+
+        def grad_of(mode):
+            fn = make_renderer(soup.static, RenderConfig(
+                max_bounces=2, rounds=3, light_chunk=4,
+                closest_compact=mode), 48, 48, jit=False)
+            return jax.jit(jax.grad(
+                lambda p: jnp.sum(fn(p, key)[0] * w)))(soup.params)
+
+        g0, g1 = grad_of("off"), grad_of("on")
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g0)[0],
+                jax.tree_util.tree_flatten_with_path(g1)[0]):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-9)
+            assert np.allclose(a, b, atol=1e-6 * scale), (
+                jax.tree_util.keystr(path))
+
     def test_per_ray_runtime_spill_guard(self, soup):
         """per_ray mode counts its own in-range segment truncation (a
         user opting into --shadow-mode per_ray on a transparent scene
