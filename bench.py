@@ -173,6 +173,36 @@ def measure_scene5():
     return total / dt, dt
 
 
+def measure_scene5_full():
+    """scene5 at its UNCAPPED scene-file light counts (300-sample
+    lights) — the reference's own full config, exact spill-0 union
+    sweep + pixel compaction."""
+    import dataclasses  # noqa: F811 — local, mirrors measure_scene5
+
+    import jax
+
+    from c_raytracer_tpu.accel import reorder_scene
+    from c_raytracer_tpu.render import RenderConfig, make_renderer
+    from c_raytracer_tpu.scene import load_scene
+
+    scene = reorder_scene(
+        load_scene("/root/reference/scenes/scene5.json",
+                   mesh_root="/root/reference"))
+    fn = make_renderer(scene.static, RenderConfig(), 64, 64,
+                       with_stats=True)
+    img, z, stats = fn(scene.params, jax.random.PRNGKey(0))
+    img.block_until_ready()
+    n_iters = 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img, z, stats = fn(scene.params, jax.random.PRNGKey(i))
+        img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    total = float(stats["main_rays"] + stats["shadow_rays"]
+                  + stats["gi_rays"])
+    return total / dt, dt
+
+
 def measure_scene4_train(rays_per_pixel_s4):
     """scene4 512² fwd+bwd: one value_and_grad train step (L2 loss vs a
     black target) through the cluster-traversal renderer — the mesh
@@ -302,6 +332,10 @@ def main():
     except Exception:
         s5_rays_per_s, s5_dt = -1.0, -1.0
     try:
+        s5f_rays_per_s, s5f_dt = measure_scene5_full()
+    except Exception:
+        s5f_rays_per_s, s5f_dt = -1.0, -1.0
+    try:
         s4_bwd_rays_per_s, s4_bwd_dt, s4_bwd_temp = measure_scene4_train(
             s4_rays_per_s * s4_dt / (512 * 512) if s4_dt > 0 else 266.0)
     except Exception:
@@ -335,6 +369,8 @@ def main():
             "scene4_512_seconds": round(s4_dt, 4),
             "scene5_64_l100_rays_per_s": round(s5_rays_per_s),
             "scene5_64_l100_seconds": round(s5_dt, 4),
+            "scene5_64_l300_rays_per_s": round(s5f_rays_per_s),
+            "scene5_64_l300_seconds": round(s5f_dt, 4),
             "scene4_512_fwd_bwd_rays_per_s": round(s4_bwd_rays_per_s),
             "scene4_512_fwd_bwd_seconds": round(s4_bwd_dt, 4),
             "scene5_64_vg_path_spp4_l24_seconds": round(s5_vg_dt, 4),
